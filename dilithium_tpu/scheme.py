@@ -1,0 +1,259 @@
+"""Batched keygen / sign / verify drivers — the scheme control layer.
+
+TPU-native replacement for the reference's `combined_top.v` (2553 lines of
+cooperating FSMs sharing 2 NTT engines, 3 Keccak cores and 7 BRAMs). Here
+each operation is one pure, jittable function over a batch: the FPGA's
+spatial pipelining (FSM1 generates candidate y while FSM2 checks the
+previous one, `combined_top.v:1823-2230`) becomes attempt-level parallelism
+inside a `lax.while_loop` — every unfinished signature evaluates
+`attempts_per_round` candidate nonces at once and keeps the first
+acceptable one, which preserves the serial kappa ordering exactly
+(`expandmask_ext.v:287-293`: OFFSET += L per attempt).
+
+All functions take `DilithiumParams` as a static argument and operate on a
+leading batch shape. Messages enter as the 64-byte mu = CRH(tr || M)
+digest; `api.py` provides bytes-in/bytes-out wrappers that compute mu
+(host-side for ragged lengths, on-device for fixed-length batches).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dilithium_tpu.params import (
+    Q, N, D, SEEDBYTES, TRBYTES, CRHBYTES, DilithiumParams,
+)
+from dilithium_tpu.ops import keccak, ntt, pack, rounding, sampling
+from dilithium_tpu.ops.reduce import add_mod, sub_mod, uncenter, center
+
+_U8 = jnp.uint8
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+class KeyPair(NamedTuple):
+    pk: jnp.ndarray  # uint8 [..., pk_bytes]
+    sk: jnp.ndarray  # uint8 [..., sk_bytes]
+    # raw components, for KAT component tests and expanded-key caching
+    rho: jnp.ndarray
+    key: jnp.ndarray
+    tr: jnp.ndarray
+    s1: jnp.ndarray  # canonical uint32 [..., L, 256]
+    s2: jnp.ndarray  # canonical uint32 [..., K, 256]
+    t0: jnp.ndarray  # centered int32 [..., K, 256]
+    t1: jnp.ndarray  # uint32 [..., K, 256]
+    ok: jnp.ndarray  # bool [...]: sampler budgets sufficed (never False in practice)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def keygen(seed: jnp.ndarray, p: DilithiumParams) -> KeyPair:
+    """Dilithium KeyGen. seed: uint8 [..., 32] (the KAT zeta).
+
+    Flow mirrors SURVEY.md §3.1 (KG_* states of `combined_top.v:754-1079`):
+    SHAKE256(zeta, 128) -> rho || sigma || K; A = ExpandA(rho);
+    s1, s2 = ExpandS(sigma); t = INTT(A_hat · NTT(s1)) + s2;
+    (t1, t0) = Power2Round(t); tr = SHAKE256(pk, 32).
+    """
+    seedbuf = keccak.shake256(seed, 2 * SEEDBYTES + CRHBYTES)
+    rho = seedbuf[..., :SEEDBYTES]
+    sigma = seedbuf[..., SEEDBYTES:SEEDBYTES + CRHBYTES]
+    key = seedbuf[..., SEEDBYTES + CRHBYTES:]
+
+    a_hat, ok_a = sampling.expand_a(rho, p)
+    s1, ok_s1 = sampling.expand_s(sigma, 0, p.L, p)
+    s2, ok_s2 = sampling.expand_s(sigma, p.L, p.K, p)
+
+    s1_hat = ntt.ntt(s1)
+    t = ntt.invntt(ntt.matvec(a_hat, s1_hat), from_product=True)
+    t = add_mod(t, s2)
+    t1, t0 = rounding.power2round(t)
+
+    pk = pack.pack_pk(rho, t1, p)
+    tr = keccak.shake256(pk, TRBYTES)
+    sk = pack.pack_sk(rho, key, tr, s1, s2, t0, p)
+    return KeyPair(pk, sk, rho, key, tr, s1, s2, t0, t1, ok_a & ok_s1 & ok_s2)
+
+
+class SignResult(NamedTuple):
+    sig: jnp.ndarray        # uint8 [..., sig_bytes]
+    attempts: jnp.ndarray   # int32 [...]: rejection attempts used (1 = first try)
+    ok: jnp.ndarray         # bool [...]: signature found within max_attempts
+
+
+def _sign_attempt(rho_a_hat, s1_hat, s2_hat, t0_hat, mu, rhoprime, kappa, p):
+    """One candidate signature for nonce kappa. Returns per-lane results.
+
+    Mirrors the FSM1/FSM2 body (`combined_top.v:1823-2230`): y -> w ->
+    c -> z with the four rejection tests of the round-3 spec.
+    All inputs carry a leading batch shape; kappa is uint32 [...].
+    """
+    a_hat = rho_a_hat
+    y = sampling.expand_mask(rhoprime, kappa, p)  # [..., L, 256]
+    y_hat = ntt.ntt(y)
+    w = ntt.invntt(ntt.matvec(a_hat, y_hat), from_product=True)  # [..., K, 256]
+    w1, w0 = rounding.decompose(w, p)
+
+    w1_packed = pack.pack_w1(w1, p).reshape(
+        w1.shape[:-2] + (p.K * p.polyw1_packedbytes,)
+    )
+    c_tilde = keccak.shake256(
+        jnp.concatenate([mu.astype(_U8), w1_packed], axis=-1), SEEDBYTES
+    )
+    c, ok_ball = sampling.sample_in_ball(c_tilde, p)
+    c_hat = ntt.ntt(c)
+
+    cs1 = ntt.invntt(ntt.pointwise(c_hat[..., None, :], s1_hat), from_product=True)
+    z = add_mod(y, cs1)  # canonical [..., L, 256]
+    rej_z = rounding.norm_exceeds(z, p.gamma1 - p.beta, axis=(-2, -1))
+
+    cs2 = ntt.invntt(ntt.pointwise(c_hat[..., None, :], s2_hat), from_product=True)
+    w0_cs2 = w0 - center(cs2)  # centered int32, |.| < q
+    rej_w0 = rounding.norm_exceeds(w0_cs2, p.gamma2 - p.beta, axis=(-2, -1))
+
+    ct0 = ntt.invntt(ntt.pointwise(c_hat[..., None, :], t0_hat), from_product=True)
+    ct0_c = center(ct0)
+    rej_t0 = rounding.norm_exceeds(ct0_c, p.gamma2, axis=(-2, -1))
+
+    hint_a0 = w0_cs2 + ct0_c
+    h = rounding.make_hint(hint_a0, w1, p)  # [..., K, 256]
+    nhints = jnp.sum(h, axis=(-2, -1))
+    rej_h = nhints > jnp.uint32(p.omega)
+
+    accept = ~(rej_z | rej_w0 | rej_t0 | rej_h) & ok_ball
+    return c_tilde, z, h, accept
+
+
+@partial(jax.jit, static_argnames=("p", "attempts_per_round", "max_rounds"))
+def sign(
+    sk: jnp.ndarray,
+    mu: jnp.ndarray,
+    p: DilithiumParams,
+    attempts_per_round: int = 4,
+    max_rounds: int = 64,
+) -> SignResult:
+    """Deterministic Dilithium sign. sk uint8 [..., sk_bytes], mu [..., 64].
+
+    The rejection loop runs `attempts_per_round` candidate nonces per lane
+    per `lax.while_loop` iteration (vectorized as an extra batch axis) and
+    selects the lowest-kappa acceptable candidate — bit-identical to the
+    serial loop of the spec, but with the loop-carried latency amortized
+    (the FPGA instead overlaps attempt i+1's y/w with attempt i's check,
+    `combined_top.v` FSM1/FSM2 interlock).
+    """
+    rho, key, tr, s1, s2, t0 = pack.unpack_sk(sk, p)
+    batch = mu.shape[:-1]
+    A = attempts_per_round
+
+    a_hat, _ = sampling.expand_a(rho, p)
+    s1_hat = ntt.ntt(s1)
+    s2_hat = ntt.ntt(s2)
+    t0_hat = ntt.ntt(uncenter(t0))
+    rhoprime = keccak.shake256(
+        jnp.concatenate([key.astype(_U8), mu.astype(_U8)], axis=-1), CRHBYTES
+    )
+
+    # broadcast per-key data over the attempts axis: [..., A, ...]
+    def rep(x):
+        return jnp.broadcast_to(
+            jnp.expand_dims(x, axis=len(batch)),
+            batch + (A,) + x.shape[len(batch):],
+        )
+
+    a_hat_r = rep(a_hat)
+    s1_hat_r = rep(s1_hat)
+    s2_hat_r = rep(s2_hat)
+    t0_hat_r = rep(t0_hat)
+    mu_r = rep(mu)
+    rhoprime_r = rep(rhoprime)
+
+    sig_len = p.sig_bytes
+
+    def cond(state):
+        done, *_ = state
+        return ~jnp.all(done)
+
+    def body(state):
+        done, kappa, sig_out, attempts = state
+        kappas = kappa[..., None] + jnp.arange(A, dtype=_U32) * jnp.uint32(p.L)
+        c_tilde, z, h, accept = _sign_attempt(
+            a_hat_r, s1_hat_r, s2_hat_r, t0_hat_r, mu_r, rhoprime_r, kappas, p
+        )
+        # first accepted attempt per lane (all-False -> A, clipped)
+        first = jnp.argmax(accept, axis=-1).astype(_I32)
+        any_acc = jnp.any(accept, axis=-1)
+        sel = jnp.clip(first, 0, A - 1)
+
+        def take(x):  # x: [..., A, ...] -> [...]
+            return jnp.take_along_axis(
+                x, sel.reshape(sel.shape + (1,) * (x.ndim - sel.ndim)), axis=len(batch)
+            ).squeeze(axis=len(batch))
+
+        sig_new = pack.pack_sig(take(c_tilde), take(z), take(h), p)
+        newly = any_acc & ~done
+        sig_out = jnp.where(newly[..., None], sig_new, sig_out)
+        attempts = jnp.where(
+            newly, attempts + first + 1,
+            jnp.where(done, attempts, attempts + A),
+        )
+        kappa = jnp.where(done | newly, kappa, kappa + jnp.uint32(A * p.L))
+        done = done | any_acc
+        return done, kappa, sig_out, attempts
+
+    state0 = (
+        jnp.zeros(batch, dtype=jnp.bool_),
+        jnp.zeros(batch, dtype=_U32),
+        jnp.zeros(batch + (sig_len,), dtype=_U8),
+        jnp.zeros(batch, dtype=_I32),
+    )
+    # bounded while loop: stop after max_rounds regardless (ok=False lanes)
+    def cond_bounded(state_i):
+        state, i = state_i
+        return cond(state) & (i < max_rounds)
+
+    def body_bounded(state_i):
+        state, i = state_i
+        return body(state), i + 1
+
+    (done, kappa, sig_out, attempts), _ = jax.lax.while_loop(
+        cond_bounded, body_bounded, (state0, jnp.int32(0))
+    )
+    return SignResult(sig_out, attempts, done)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def verify(pk: jnp.ndarray, sig: jnp.ndarray, mu: jnp.ndarray, p: DilithiumParams) -> jnp.ndarray:
+    """Dilithium verify. pk [..., pk_bytes], sig [..., sig_bytes], mu [..., 64].
+
+    Returns bool [...]. Flow mirrors SURVEY.md §3.3 (VY_* states,
+    `combined_top.v:1100-1534`): w' = INTT(A_hat·NTT(z) - NTT(c)·NTT(t1·2^d));
+    w1' = UseHint(h, w'); accept iff c_tilde == H(mu || w1') and encodings
+    are canonical and ||z|| is in range.
+    """
+    rho, t1 = pack.unpack_pk(pk, p)
+    c_tilde, z, h, h_ok = pack.unpack_sig(sig, p)
+
+    z_ok = ~rounding.norm_exceeds(z, p.gamma1 - p.beta, axis=(-2, -1))
+
+    a_hat, _ = sampling.expand_a(rho, p)
+    c, _ = sampling.sample_in_ball(c_tilde, p)
+    c_hat = ntt.ntt(c)
+    z_hat = ntt.ntt(z)
+
+    t1_shift = t1.astype(_U32) << D  # t1*2^13 <= q-1: stays canonical
+    t1_hat = ntt.ntt(t1_shift)
+
+    az = ntt.matvec(a_hat, z_hat)                       # carries R^-1
+    ct1 = ntt.pointwise(c_hat[..., None, :], t1_hat)    # carries R^-1
+    w = ntt.invntt(sub_mod(az, ct1), from_product=True)  # [..., K, 256]
+
+    w1 = rounding.use_hint(h, w, p)
+    w1_packed = pack.pack_w1(w1, p).reshape(w1.shape[:-2] + (p.K * p.polyw1_packedbytes,))
+    c_tilde2 = keccak.shake256(
+        jnp.concatenate([mu.astype(_U8), w1_packed], axis=-1), SEEDBYTES
+    )
+    hash_ok = jnp.all(c_tilde == c_tilde2, axis=-1)
+    return z_ok & h_ok & hash_ok
