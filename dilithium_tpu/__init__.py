@@ -9,10 +9,11 @@ reference's KAT vectors (KAT/*.txt, 100 vectors per level).
 
 Public API
 ----------
-- ``params.DilithiumParams`` / ``params.get_params(level)``
-- ``scheme.keygen / sign / verify`` — batched, jittable core
-- ``api.Dilithium`` — bytes-in/bytes-out convenience wrapper
-- ``parallel.service.SigningService`` — sharded multi-chip batch service
+- ``get_params(level)`` -> frozen ``DilithiumParams`` (static jit arg)
+- ``scheme.keygen / sign / sign_stream / verify`` — batched, jittable core
+- ``api.keygen / sign / verify / Signer`` — bytes-in/bytes-out wrappers
+- ``parallel.make_mesh / sharded_sign / ...`` — multi-chip batch services
+- ``oracle`` — ctypes binding to the differential-test C++ oracle (cpp/)
 """
 
 from dilithium_tpu.params import DilithiumParams, get_params, LEVELS

@@ -1,0 +1,129 @@
+"""Bytes-in / bytes-out user API — the host-bus layer.
+
+The reference exposes one streaming top (`combined_top.v:26-42`): mode
+(0=keygen, 1=verify, 2=sign) + sec_lvl (2/3/5) selected at runtime, keys
+and signatures streamed as bytes. This module is that surface for the TPU
+library: NumPy bytes in, NumPy bytes out, arbitrary-length messages (the
+mu = CRH(tr || M) digest is computed host-side with hashlib — messages
+are ragged and hashing them is not device work; fixed 64-byte mu batches
+feed the jitted device drivers).
+
+For throughput-critical callers, `Signer` caches the expanded key
+(A_hat / s1_hat / s2_hat / t0_hat NTTs) across calls — the library analog
+of the FPGA keeping Â resident in BRAM0 across sign invocations.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dilithium_tpu import scheme
+from dilithium_tpu.params import TRBYTES, CRHBYTES, SEEDBYTES, DilithiumParams, get_params
+
+Bytes = Union[bytes, bytearray, memoryview]
+
+
+def _as_rows(rows: Sequence[Bytes], length: int, name: str) -> np.ndarray:
+    out = np.zeros((len(rows), length), dtype=np.uint8)
+    for i, r in enumerate(rows):
+        b = bytes(r)
+        if len(b) != length:
+            raise ValueError(f"{name}[{i}] has {len(b)} bytes, expected {length}")
+        out[i] = np.frombuffer(b, dtype=np.uint8)
+    return out
+
+
+def compute_mu(tr: Bytes, message: Bytes) -> bytes:
+    """mu = CRH(tr || M) — SHAKE256, 64 bytes (`expandmask_ext.v:131-136`)."""
+    h = hashlib.shake_256()
+    h.update(bytes(tr))
+    h.update(bytes(message))
+    return h.digest(CRHBYTES)
+
+
+def keygen(level: int, seeds: Sequence[Bytes]) -> Tuple[list, list]:
+    """Batch keygen. seeds: 32-byte each. Returns (pks, sks) as bytes lists."""
+    p = get_params(level)
+    arr = _as_rows(seeds, SEEDBYTES, "seed")
+    kp = scheme.keygen(jnp.asarray(arr), p)
+    if not bool(np.asarray(kp.ok).all()):
+        raise RuntimeError("sampler block budget exceeded (p < 1e-50; re-seed)")
+    pk = np.asarray(kp.pk)
+    sk = np.asarray(kp.sk)
+    return [bytes(r) for r in pk], [bytes(r) for r in sk]
+
+
+def sign(level: int, sk: Bytes, messages: Sequence[Bytes]) -> list:
+    """Sign a batch of messages under one secret key. Returns signatures."""
+    p = get_params(level)
+    sk_b = bytes(sk)
+    if len(sk_b) != p.sk_bytes:
+        raise ValueError(f"sk has {len(sk_b)} bytes, expected {p.sk_bytes}")
+    tr = sk_b[2 * SEEDBYTES: 2 * SEEDBYTES + TRBYTES]
+    mus = np.stack(
+        [np.frombuffer(compute_mu(tr, m), dtype=np.uint8) for m in messages]
+    )
+    sk_arr = jnp.asarray(np.frombuffer(sk_b, dtype=np.uint8))
+    sk_rep = jnp.broadcast_to(sk_arr, (len(messages), p.sk_bytes))
+    res = scheme.sign(sk_rep, jnp.asarray(mus), p)
+    if not bool(np.asarray(res.ok).all()):
+        raise RuntimeError("sign did not converge within max_rounds")
+    return [bytes(r) for r in np.asarray(res.sig)]
+
+
+def verify(level: int, pk: Bytes, message_sig_pairs: Sequence[Tuple[Bytes, Bytes]]) -> list:
+    """Verify a batch of (message, signature) pairs under one public key."""
+    p = get_params(level)
+    pk_b = bytes(pk)
+    if len(pk_b) != p.pk_bytes:
+        raise ValueError(f"pk has {len(pk_b)} bytes, expected {p.pk_bytes}")
+    tr = hashlib.shake_256(pk_b).digest(TRBYTES)
+    mus, sigs = [], []
+    for m, s in message_sig_pairs:
+        mus.append(np.frombuffer(compute_mu(tr, m), dtype=np.uint8))
+        s = bytes(s)
+        if len(s) != p.sig_bytes:
+            # malformed length: definitionally invalid, mark via all-zero sig
+            s = b"\x01" * p.sig_bytes
+        sigs.append(np.frombuffer(s, dtype=np.uint8))
+    pk_arr = jnp.broadcast_to(
+        jnp.asarray(np.frombuffer(pk_b, dtype=np.uint8)), (len(mus), p.pk_bytes)
+    )
+    ok = scheme.verify(pk_arr, jnp.asarray(np.stack(sigs)), jnp.asarray(np.stack(mus)), p)
+    return [bool(x) for x in np.asarray(ok)]
+
+
+class Signer:
+    """Persistent signing service for one key — caches the expanded key.
+
+    The FPGA re-streams the full sk and re-expands Â on every sign call
+    (`tb_sign_top.v:171-283`); a memory-rich TPU keeps the NTT-domain
+    expansions resident (SURVEY.md §5 checkpoint/resume: "persisted
+    expanded keys (Â cache) as an optimization toggle").
+    """
+
+    def __init__(self, level: int, sk: Bytes):
+        self.p = get_params(level)
+        self.level = level
+        sk_b = bytes(sk)
+        if len(sk_b) != self.p.sk_bytes:
+            raise ValueError(f"sk has {len(sk_b)} bytes, expected {self.p.sk_bytes}")
+        self.sk = jnp.asarray(np.frombuffer(sk_b, dtype=np.uint8))
+        self.tr = sk_b[2 * SEEDBYTES: 2 * SEEDBYTES + TRBYTES]
+        # expand once; every sign() call reuses the NTT-domain key material
+        self.expanded = scheme.expand_sk(self.sk, self.p)
+        jax.block_until_ready(self.expanded)
+
+    def sign(self, messages: Sequence[Bytes]) -> list:
+        mus = np.stack(
+            [np.frombuffer(compute_mu(self.tr, m), dtype=np.uint8) for m in messages]
+        )
+        res = scheme.sign_expanded(self.expanded, jnp.asarray(mus), self.p)
+        if not bool(np.asarray(res.ok).all()):
+            raise RuntimeError("sign did not converge within max_rounds")
+        return [bytes(r) for r in np.asarray(res.sig)]

@@ -19,8 +19,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dilithium_tpu.params import (
     Q, N, D, SEEDBYTES, TRBYTES, DilithiumParams,
@@ -124,17 +124,13 @@ def pack_hints(h: jnp.ndarray, p: DilithiumParams) -> jnp.ndarray:
         jnp.tile(jnp.arange(N, dtype=_U32), K), hf.shape
     )
     idx = jnp.where(hf == 1, rank, jnp.uint32(p.omega + K))  # drop non-hints
-    out = jnp.zeros(batch + (p.omega + K,), dtype=_U32)
-    # scatter positions at their ranks (mode='drop' discards idx >= omega+K)
-    if len(batch) == 0:
-        out = out.at[idx].set(pos_in_poly, mode="drop")
-    else:
-        bidx = jnp.ix_(*[np.arange(s) for s in batch])
-        onehot_idx = tuple(
-            jnp.broadcast_to(x.reshape(x.shape + (1,)), batch + (K * N,))
-            for x in bidx
-        )
-        out = out.at[onehot_idx + (idx,)].set(pos_in_poly, mode="drop")
+    # vmap'd 1-D scatter (no batch-index constants; see sampling._rank_compact)
+    def scat(pos, i):
+        return jnp.zeros((p.omega + K,), dtype=_U32).at[i].set(pos, mode="drop")
+
+    out = jax.vmap(scat)(
+        pos_in_poly.reshape((-1, K * N)), idx.reshape((-1, K * N))
+    ).reshape(batch + (p.omega + K,))
     # cumulative counts per poly
     counts = jnp.cumsum(jnp.sum(h.astype(_U32), axis=-1), axis=-1)  # [..., K]
     out = out.at[..., p.omega:].set(counts)
@@ -182,18 +178,15 @@ def unpack_hints(b: jnp.ndarray, p: DilithiumParams) -> Tuple[jnp.ndarray, jnp.n
     # zero padding beyond the last hint
     ok = ok & jnp.all(jnp.where(active, True, pos == 0), axis=-1)
 
-    # scatter into bitmap
+    # scatter into bitmap (vmap'd 1-D scatter; see pack_hints)
     flat_idx = jnp.where(active, poly_of_slot * N + pos, jnp.uint32(K * N))
-    bitmap = jnp.zeros(batch + (K * N,), dtype=_U32)
-    if len(batch) == 0:
-        bitmap = bitmap.at[flat_idx].set(1, mode="drop")
-    else:
-        bidx = jnp.ix_(*[np.arange(s) for s in batch])
-        onehot_idx = tuple(
-            jnp.broadcast_to(x.reshape(x.shape + (1,)), batch + (p.omega,))
-            for x in bidx
-        )
-        bitmap = bitmap.at[onehot_idx + (flat_idx,)].set(1, mode="drop")
+
+    def scat(i):
+        return jnp.zeros((K * N,), dtype=_U32).at[i].set(1, mode="drop")
+
+    bitmap = jax.vmap(scat)(flat_idx.reshape((-1, p.omega))).reshape(
+        batch + (K * N,)
+    )
     return bitmap.reshape(batch + (K, N)), ok
 
 

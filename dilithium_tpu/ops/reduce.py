@@ -19,11 +19,12 @@ Representation conventions:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from dilithium_tpu.params import Q, QINV, MONT_R, MONT_R2
 
 _U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+_MASK16 = np.uint32(0xFFFF)
 _NQINV = (1 << 32) - QINV  # (-q)^-1 mod 2^32, the REDC multiplier
 
 
@@ -57,8 +58,8 @@ def mont_reduce(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
 
     Requires P < q * 2^32. Result in [0, q).
     """
-    m = lo * jnp.uint32(_NQINV)                     # (-P * q^-1) mod 2^32
-    mq_hi = mulhi_u32(m, jnp.uint32(Q))
+    m = lo * np.uint32(_NQINV)                     # (-P * q^-1) mod 2^32
+    mq_hi = mulhi_u32(m, np.uint32(Q))
     # lo + m*q ≡ 0 (mod 2^32): carry-out is 1 iff lo != 0
     carry = (lo != 0).astype(_U32)
     t = hi + mq_hi + carry                          # < 2q
@@ -74,7 +75,7 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def to_mont(a: jnp.ndarray) -> jnp.ndarray:
     """Lift to Montgomery domain: a * R mod q."""
-    return mont_mul(a, jnp.uint32(MONT_R2))
+    return mont_mul(a, np.uint32(MONT_R2))
 
 
 def from_mont(a: jnp.ndarray) -> jnp.ndarray:
@@ -89,7 +90,7 @@ def mul_mod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def csubq(a: jnp.ndarray) -> jnp.ndarray:
     """Conditional subtract: map [0, 2q) -> [0, q)."""
-    return jnp.where(a >= jnp.uint32(Q), a - jnp.uint32(Q), a)
+    return jnp.where(a >= np.uint32(Q), a - np.uint32(Q), a)
 
 
 def add_mod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -99,18 +100,18 @@ def add_mod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def sub_mod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a - b) mod q for inputs in [0, q)."""
-    return csubq(a.astype(_U32) + jnp.uint32(Q) - b.astype(_U32))
+    return csubq(a.astype(_U32) + np.uint32(Q) - b.astype(_U32))
 
 
 def neg_mod(a: jnp.ndarray) -> jnp.ndarray:
     """(-a) mod q for input in [0, q)."""
-    return csubq(jnp.uint32(Q) - a.astype(_U32))  # maps 0 -> q -> 0
+    return csubq(np.uint32(Q) - a.astype(_U32))  # maps 0 -> q -> 0
 
 
 def center(a: jnp.ndarray) -> jnp.ndarray:
     """Map canonical [0, q) to centered representative in (-q/2, q/2] as int32."""
     a = a.astype(_U32)
-    hi = a > jnp.uint32((Q - 1) // 2)
+    hi = a > np.uint32((Q - 1) // 2)
     return jnp.where(hi, a.astype(jnp.int32) - jnp.int32(Q), a.astype(jnp.int32))
 
 

@@ -27,7 +27,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dilithium_tpu.params import (
     Q, N, SHAKE128_RATE, SHAKE256_RATE, DilithiumParams,
@@ -60,16 +59,12 @@ def _rank_compact(cand: jnp.ndarray, accept: jnp.ndarray, n_out: int) -> Tuple[j
     acc = accept.astype(_U32)
     rank = jnp.cumsum(acc, axis=-1) - acc
     idx = jnp.where(accept, rank, jnp.uint32(n_out))  # overflow slot -> drop
-    out = jnp.zeros(batch + (n_out,), dtype=cand.dtype)
-    if len(batch) == 0:
-        out = out.at[idx].set(cand, mode="drop")
-    else:
-        bidx = jnp.ix_(*[np.arange(s) for s in batch])
-        onehot = tuple(
-            jnp.broadcast_to(x.reshape(x.shape + (1,)), batch + (n_cand,))
-            for x in bidx
-        )
-        out = out.at[onehot + (idx,)].set(cand, mode="drop")
+    # vmap of a 1-D scatter: compiles to one batched scatter without
+    # materializing batch-index constants (compile-time critical at B>1k)
+    def scat(c, i):
+        return jnp.zeros((n_out,), dtype=cand.dtype).at[i].set(c, mode="drop")
+    flat = jax.vmap(scat)(cand.reshape((-1, n_cand)), idx.reshape((-1, n_cand)))
+    out = flat.reshape(batch + (n_out,))
     ok = (rank[..., -1] + acc[..., -1]) >= n_out
     return out, ok
 
@@ -204,9 +199,12 @@ def sample_in_ball(
         used = used + active.astype(_I32)
         return (c, i, used), None
 
-    c0 = jnp.zeros(batch + (N,), dtype=_U32)
-    i0 = jnp.full(batch, N - p.tau, dtype=_I32)
-    used0 = jnp.zeros(batch, dtype=_I32)
+    # derive the zero carries from the stream so they inherit its varying
+    # manual axes under shard_map (scan requires carry-in/out type equality)
+    zero = (stream[..., 0] & jnp.uint8(0)).astype(_U32)  # [...], all zeros
+    c0 = jnp.zeros(batch + (N,), dtype=_U32) + zero[..., None]
+    i0 = jnp.full(batch, N - p.tau, dtype=_I32) + zero.astype(_I32)
+    used0 = zero.astype(_I32)
     # scan over the byte-stream axis: move it to the front
     bs_t = jnp.moveaxis(bs, -1, 0)
     (c, i, _), _ = jax.lax.scan(step, (c0, i0, used0), bs_t)
@@ -219,5 +217,8 @@ def _set_along_axis(c: jnp.ndarray, idx: jnp.ndarray, val: jnp.ndarray) -> jnp.n
     batch = c.shape[:-1]
     if len(batch) == 0:
         return c.at[idx].set(val)
-    bidx = jnp.ix_(*[np.arange(s) for s in batch])
-    return c.at[bidx + (idx,)].set(val)
+    n = c.shape[-1]
+    flat = jax.vmap(lambda row, i, v: row.at[i].set(v))(
+        c.reshape((-1, n)), idx.reshape((-1,)), val.reshape((-1,))
+    )
+    return flat.reshape(c.shape)

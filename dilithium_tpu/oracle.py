@@ -1,0 +1,125 @@
+"""ctypes binding to the C++ host oracle (cpp/liboracle.so).
+
+The reference keeps a C++ model layer for host-side validation of its
+RTL (`dilithium-256/` — NTT only); our oracle covers the full scheme so
+every device path can be differentially tested on arbitrary inputs, not
+just the shipped KATs. Build: `make -C cpp` (done lazily here).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+
+import numpy as np
+
+_CPP_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "cpp")
+_LIB_PATH = os.path.join(_CPP_DIR, "liboracle.so")
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+
+
+@lru_cache(maxsize=1)
+def _lib() -> ctypes.CDLL:
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-s", "-C", _CPP_DIR, "liboracle.so"], check=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    for name in ("oracle_pk_bytes", "oracle_sk_bytes", "oracle_sig_bytes"):
+        getattr(lib, name).restype = ctypes.c_int
+        getattr(lib, name).argtypes = [ctypes.c_int]
+    lib.oracle_keygen_batch.argtypes = [ctypes.c_int, ctypes.c_int, _u8p, _u8p, _u8p]
+    lib.oracle_sign_batch.argtypes = [ctypes.c_int, ctypes.c_int, _u8p, _u8p, _u8p, _i32p]
+    lib.oracle_verify_batch.argtypes = [ctypes.c_int, ctypes.c_int, _u8p, _u8p, _u8p, _i32p]
+    lib.oracle_ntt.argtypes = [_i32p]
+    lib.oracle_invntt.argtypes = [_i32p]
+    lib.oracle_pointwise.argtypes = [_i32p, _i32p, _i32p]
+    lib.oracle_shake128.argtypes = [_u8p, ctypes.c_int, _u8p, ctypes.c_int]
+    lib.oracle_shake256.argtypes = [_u8p, ctypes.c_int, _u8p, ctypes.c_int]
+    return lib
+
+
+def _p8(a: np.ndarray):
+    return a.ctypes.data_as(_u8p)
+
+
+def _p32(a: np.ndarray):
+    return a.ctypes.data_as(_i32p)
+
+
+def sizes(level: int):
+    lib = _lib()
+    return (
+        lib.oracle_pk_bytes(level),
+        lib.oracle_sk_bytes(level),
+        lib.oracle_sig_bytes(level),
+    )
+
+
+def keygen(level: int, seeds: np.ndarray):
+    """seeds uint8 [B, 32] -> (pk [B, pk_bytes], sk [B, sk_bytes])."""
+    lib = _lib()
+    seeds = np.ascontiguousarray(seeds, dtype=np.uint8)
+    n = seeds.shape[0]
+    pkb, skb, _ = sizes(level)
+    pk = np.zeros((n, pkb), dtype=np.uint8)
+    sk = np.zeros((n, skb), dtype=np.uint8)
+    lib.oracle_keygen_batch(level, n, _p8(seeds), _p8(pk), _p8(sk))
+    return pk, sk
+
+
+def sign(level: int, sk: np.ndarray, mu: np.ndarray):
+    """sk [B, sk_bytes], mu [B, 64] -> (sig [B, sig_bytes], attempts [B])."""
+    lib = _lib()
+    sk = np.ascontiguousarray(sk, dtype=np.uint8)
+    mu = np.ascontiguousarray(mu, dtype=np.uint8)
+    n = sk.shape[0]
+    _, _, sigb = sizes(level)
+    sig = np.zeros((n, sigb), dtype=np.uint8)
+    att = np.zeros(n, dtype=np.int32)
+    lib.oracle_sign_batch(level, n, _p8(sk), _p8(mu), _p8(sig), _p32(att))
+    return sig, att
+
+
+def verify(level: int, pk: np.ndarray, mu: np.ndarray, sig: np.ndarray):
+    """-> bool [B]."""
+    lib = _lib()
+    pk = np.ascontiguousarray(pk, dtype=np.uint8)
+    mu = np.ascontiguousarray(mu, dtype=np.uint8)
+    sig = np.ascontiguousarray(sig, dtype=np.uint8)
+    n = pk.shape[0]
+    res = np.zeros(n, dtype=np.int32)
+    lib.oracle_verify_batch(level, n, _p8(pk), _p8(mu), _p8(sig), _p32(res))
+    return res.astype(bool)
+
+
+def ntt(a: np.ndarray) -> np.ndarray:
+    """Forward NTT of [..., 256] int32 canonical polys (per-poly loop)."""
+    lib = _lib()
+    out = np.ascontiguousarray(a, dtype=np.int32).copy()
+    flat = out.reshape(-1, 256)
+    for row in flat:
+        lib.oracle_ntt(_p32(row))
+    return out
+
+
+def invntt(a: np.ndarray) -> np.ndarray:
+    lib = _lib()
+    out = np.ascontiguousarray(a, dtype=np.int32).copy()
+    flat = out.reshape(-1, 256)
+    for row in flat:
+        lib.oracle_invntt(_p32(row))
+    return out
+
+
+def pointwise(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lib = _lib()
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    b = np.ascontiguousarray(b, dtype=np.int32)
+    out = np.zeros_like(a)
+    fa, fb, fo = a.reshape(-1, 256), b.reshape(-1, 256), out.reshape(-1, 256)
+    for ra, rb, ro in zip(fa, fb, fo):
+        lib.oracle_pointwise(_p32(ro), _p32(ra), _p32(rb))
+    return out

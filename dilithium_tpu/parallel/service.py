@@ -1,0 +1,115 @@
+"""Sharded keygen / sign / verify — `shard_map` over the batch mesh.
+
+Each device runs the full single-chip scheme (`dilithium_tpu.scheme`) on
+its batch shard; the only collective is a `psum` of the throughput/attempt
+counters (SURVEY.md §2.7: "no cross-chip math needed for correctness —
+only a final psum for throughput accounting"). The rejection loop is
+per-device: a chip whose shard finishes early simply exits its
+`while_loop` sooner, which is the mesh-level analog of the FPGA's FSM1
+pipelining hiding the variable attempt count (`combined_top.v:1823-2230`).
+
+Keys may be sharded with the batch (axis 0 = distinct keys) or replicated
+(one key, many messages) — both are expressed purely through in_shardings.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from dilithium_tpu import scheme
+from dilithium_tpu.params import DilithiumParams
+from dilithium_tpu.parallel.mesh import BATCH_AXIS
+
+
+class ShardedSignResult(NamedTuple):
+    sig: jax.Array        # uint8 [B, sig_bytes], batch-sharded
+    attempts: jax.Array   # int32 [B]
+    ok: jax.Array         # bool [B]
+    total_signed: jax.Array    # int32 scalar, global (psum)
+    total_attempts: jax.Array  # int32 scalar, global (psum)
+
+
+def sharded_keygen(mesh: Mesh, p: DilithiumParams):
+    """Batched keygen over the mesh. seed uint8 [B, 32], B % n_devices == 0."""
+
+    def kg(seed):
+        kp = scheme.keygen(seed, p)
+        return kp.pk, kp.sk, kp.ok
+
+    mapped = shard_map(
+        kg, mesh=mesh,
+        in_specs=P(BATCH_AXIS, None),
+        out_specs=(P(BATCH_AXIS, None), P(BATCH_AXIS, None), P(BATCH_AXIS)),
+    )
+    return jax.jit(mapped)
+
+
+def sharded_sign(
+    mesh: Mesh,
+    p: DilithiumParams,
+    attempts_per_round: int = 4,
+    max_rounds: int = 64,
+    replicate_key: bool = False,
+):
+    """Batched sign over the mesh.
+
+    sk uint8 [B, sk_bytes] (or [sk_bytes] if replicate_key), mu [B, 64].
+    Returns ShardedSignResult with psum'd global counters.
+    """
+
+    def sg(sk, mu):
+        if replicate_key:
+            sk = jnp.broadcast_to(sk, mu.shape[:1] + sk.shape)
+        res = scheme.sign(sk, mu, p, attempts_per_round=attempts_per_round,
+                          max_rounds=max_rounds)
+        signed = jax.lax.psum(jnp.sum(res.ok.astype(jnp.int32)), BATCH_AXIS)
+        att = jax.lax.psum(jnp.sum(res.attempts), BATCH_AXIS)
+        return res.sig, res.attempts, res.ok, signed, att
+
+    in_specs = (P() if replicate_key else P(BATCH_AXIS, None), P(BATCH_AXIS, None))
+    mapped = shard_map(
+        sg, mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(BATCH_AXIS, None), P(BATCH_AXIS), P(BATCH_AXIS), P(), P()),
+    )
+
+    def run(sk, mu) -> ShardedSignResult:
+        return ShardedSignResult(*mapped(sk, mu))
+
+    return jax.jit(run)
+
+
+def sharded_verify(mesh: Mesh, p: DilithiumParams, replicate_key: bool = False):
+    """Batched verify over the mesh. Returns (ok [B], total_ok scalar)."""
+
+    def vy(pk, sig, mu):
+        if replicate_key:
+            pk = jnp.broadcast_to(pk, mu.shape[:1] + pk.shape)
+        ok = scheme.verify(pk, sig, mu, p)
+        total = jax.lax.psum(jnp.sum(ok.astype(jnp.int32)), BATCH_AXIS)
+        return ok, total
+
+    in_specs = (
+        P() if replicate_key else P(BATCH_AXIS, None),
+        P(BATCH_AXIS, None),
+        P(BATCH_AXIS, None),
+    )
+    mapped = shard_map(
+        vy, mesh=mesh, in_specs=in_specs, out_specs=(P(BATCH_AXIS), P()),
+    )
+    return jax.jit(mapped)
+
+
+def throughput_counters(result: ShardedSignResult) -> dict:
+    """Host-side summary of the global psum counters."""
+    return {
+        "signed": int(result.total_signed),
+        "attempts": int(result.total_attempts),
+        "mean_attempts": float(result.total_attempts) / max(1, int(result.total_signed)),
+    }

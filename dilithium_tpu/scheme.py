@@ -84,6 +84,36 @@ class SignResult(NamedTuple):
     ok: jnp.ndarray         # bool [...]: signature found within max_attempts
 
 
+class ExpandedKey(NamedTuple):
+    """NTT-domain secret-key expansion, cacheable across sign calls.
+
+    The FPGA re-expands Â and re-NTTs s1/s2/t0 on every sign invocation
+    (FSM0 LOAD/DECODE/NTT states, `combined_top.v:1535-1820`); on TPU the
+    expansion is computed once per key and reused (SURVEY.md §5).
+    """
+    a_hat: jnp.ndarray   # uint32 [..., K, L, 256]
+    s1_hat: jnp.ndarray  # uint32 [..., L, 256]
+    s2_hat: jnp.ndarray  # uint32 [..., K, 256]
+    t0_hat: jnp.ndarray  # uint32 [..., K, 256]
+    key: jnp.ndarray     # uint8 [..., 32]
+    tr: jnp.ndarray      # uint8 [..., 32]
+
+
+@partial(jax.jit, static_argnames=("p",))
+def expand_sk(sk: jnp.ndarray, p: DilithiumParams) -> ExpandedKey:
+    """Unpack sk and precompute all NTT-domain key material."""
+    rho, key, tr, s1, s2, t0 = pack.unpack_sk(sk, p)
+    a_hat, _ = sampling.expand_a(rho, p)
+    return ExpandedKey(
+        a_hat=a_hat,
+        s1_hat=ntt.ntt(s1),
+        s2_hat=ntt.ntt(s2),
+        t0_hat=ntt.ntt(uncenter(t0)),
+        key=key,
+        tr=tr,
+    )
+
+
 def _sign_attempt(rho_a_hat, s1_hat, s2_hat, t0_hat, mu, rhoprime, kappa, p):
     """One candidate signature for nonce kappa. Returns per-lane results.
 
@@ -144,14 +174,36 @@ def sign(
     (the FPGA instead overlaps attempt i+1's y/w with attempt i's check,
     `combined_top.v` FSM1/FSM2 interlock).
     """
-    rho, key, tr, s1, s2, t0 = pack.unpack_sk(sk, p)
+    ek = expand_sk(sk, p)
+    return sign_expanded(ek, mu, p, attempts_per_round=attempts_per_round,
+                         max_rounds=max_rounds)
+
+
+@partial(jax.jit, static_argnames=("p", "attempts_per_round", "max_rounds"))
+def sign_expanded(
+    ek: ExpandedKey,
+    mu: jnp.ndarray,
+    p: DilithiumParams,
+    attempts_per_round: int = 4,
+    max_rounds: int = 64,
+) -> SignResult:
+    """Sign with a precomputed ExpandedKey (see `expand_sk`)."""
+    a_hat, s1_hat, s2_hat, t0_hat, key = (
+        ek.a_hat, ek.s1_hat, ek.s2_hat, ek.t0_hat, ek.key,
+    )
     batch = mu.shape[:-1]
     A = attempts_per_round
 
-    a_hat, _ = sampling.expand_a(rho, p)
-    s1_hat = ntt.ntt(s1)
-    s2_hat = ntt.ntt(s2)
-    t0_hat = ntt.ntt(uncenter(t0))
+    def bcast(x, core_ndim):
+        """Broadcast key material to mu's batch (shared-key caching case)."""
+        return jnp.broadcast_to(x, batch + x.shape[x.ndim - core_ndim:])
+
+    a_hat = bcast(a_hat, 3)
+    s1_hat = bcast(s1_hat, 2)
+    s2_hat = bcast(s2_hat, 2)
+    t0_hat = bcast(t0_hat, 2)
+    key = bcast(key, 1)
+
     rhoprime = keccak.shake256(
         jnp.concatenate([key.astype(_U8), mu.astype(_U8)], axis=-1), CRHBYTES
     )
@@ -203,11 +255,14 @@ def sign(
         done = done | any_acc
         return done, kappa, sig_out, attempts
 
+    # derive the zero state from mu so it inherits mu's varying manual axes
+    # under shard_map (while_loop requires carry-in/out type equality)
+    zero = mu[..., 0] & jnp.uint8(0)  # [...], all zeros
     state0 = (
-        jnp.zeros(batch, dtype=jnp.bool_),
-        jnp.zeros(batch, dtype=_U32),
-        jnp.zeros(batch + (sig_len,), dtype=_U8),
-        jnp.zeros(batch, dtype=_I32),
+        zero.astype(jnp.bool_),
+        zero.astype(_U32),
+        jnp.zeros(batch + (sig_len,), dtype=_U8) + zero[..., None],
+        zero.astype(_I32),
     )
     # bounded while loop: stop after max_rounds regardless (ok=False lanes)
     def cond_bounded(state_i):
@@ -222,6 +277,99 @@ def sign(
         cond_bounded, body_bounded, (state0, jnp.int32(0))
     )
     return SignResult(sig_out, attempts, done)
+
+
+@partial(jax.jit, static_argnames=("p", "window", "max_rounds"))
+def sign_stream(
+    ek: ExpandedKey,
+    mu: jnp.ndarray,
+    p: DilithiumParams,
+    window: int = 1024,
+    max_rounds: int = 4096,
+) -> SignResult:
+    """Throughput-optimal signing of a queue of messages under ONE key.
+
+    `sign` runs its whole batch in lockstep until every lane accepts, so a
+    batch of B pays ~max-of-B geometric attempts per lane (~8x waste at
+    B=8k). Here a window of W lanes each works on its own message; a lane
+    that accepts scatters its signature to the output queue and immediately
+    REFILLS with the next unassigned message, so every attempt in every
+    round is useful work (modulo the final drain). This is the TPU analog
+    of the FPGA hiding attempt i+1's y/w generation behind attempt i's
+    check (`combined_top.v` FSM1/FSM2 interlock) — but W-wide instead of
+    1 message deep.
+
+    Per-message results are bit-identical to `sign`/the serial spec: each
+    message's kappa sequence starts at 0 and advances by L per attempt
+    regardless of lane packing (`expandmask_ext.v:287-293`).
+
+    ek: unbatched ExpandedKey. mu: uint8 [Q, 64]. Returns SignResult [Q].
+    """
+    Q = mu.shape[0]
+    W = min(window, Q)
+    sig_len = p.sig_bytes
+
+    key_b = jnp.broadcast_to(ek.key, (Q,) + ek.key.shape)
+    rhoprime = keccak.shake256(
+        jnp.concatenate([key_b.astype(_U8), mu.astype(_U8)], axis=-1), CRHBYTES
+    )  # [Q, 64]
+
+    def bcast(x):
+        return jnp.broadcast_to(x, (W,) + x.shape)
+
+    a_hat = bcast(ek.a_hat)
+    s1_hat = bcast(ek.s1_hat)
+    s2_hat = bcast(ek.s2_hat)
+    t0_hat = bcast(ek.t0_hat)
+
+    zero_w = (mu[:W, 0] & jnp.uint8(0)).astype(_I32)  # varying zeros [W]
+
+    def cond(state):
+        qidx, nxt, kappa, sig_out, att_out, rounds = state
+        return jnp.any(qidx < Q) & (rounds < max_rounds)
+
+    def body(state):
+        qidx, nxt, kappa, sig_out, att_out, rounds = state
+        active = qidx < Q
+        safe = jnp.minimum(qidx, Q - 1)
+        mu_act = jnp.take(mu, safe, axis=0)
+        rp_act = jnp.take(rhoprime, safe, axis=0)
+
+        c_tilde, z, h, accept = _sign_attempt(
+            a_hat, s1_hat, s2_hat, t0_hat, mu_act, rp_act,
+            kappa.astype(_U32), p,
+        )
+        accept = accept & active
+
+        sig_new = pack.pack_sig(c_tilde, z, h, p)  # [W, sig_len]
+        tgt = jnp.where(accept, qidx, Q)  # Q = dropped
+        sig_out = sig_out.at[tgt].set(sig_new, mode="drop")
+        att_out = att_out.at[tgt].set(
+            kappa.astype(_I32) // p.L + 1, mode="drop"
+        )
+
+        acc = accept.astype(_I32)
+        rank = jnp.cumsum(acc) - acc
+        qidx = jnp.where(accept, nxt + rank, qidx)
+        kappa = jnp.where(
+            accept, 0, jnp.where(active, kappa + p.L, kappa)
+        )
+        nxt = nxt + jnp.sum(acc)
+        return qidx, nxt, kappa, sig_out, att_out, rounds + 1
+
+    state0 = (
+        jnp.arange(W, dtype=_I32) + zero_w,             # qidx
+        jnp.int32(W) + zero_w[0],                        # next unassigned
+        zero_w,                                          # kappa
+        jnp.zeros((Q, sig_len), dtype=_U8) + (zero_w[0] & 0).astype(_U8),
+        zero_w[0] + jnp.zeros((Q,), dtype=_I32),         # attempts (0 = unsigned)
+        zero_w[0],                                       # round counter
+    )
+    qidx, nxt, kappa, sig_out, att_out, rounds = jax.lax.while_loop(
+        cond, body, state0
+    )
+    ok = att_out > 0
+    return SignResult(sig_out, att_out, ok)
 
 
 @partial(jax.jit, static_argnames=("p",))

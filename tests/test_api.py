@@ -1,0 +1,59 @@
+"""Bytes-level API tests: ragged messages, KAT cross-check, error paths."""
+
+import numpy as np
+import pytest
+
+from dilithium_tpu import api, params
+from dilithium_tpu.utils import kat
+
+LEVEL = 2
+
+
+@pytest.fixture(scope="module")
+def kat2():
+    return kat.load_kat(LEVEL, count=2)
+
+
+def test_api_roundtrip_matches_kat(kat2):
+    k = kat2
+    pks, sks = api.keygen(LEVEL, k["z"])
+    p = params.get_params(LEVEL)
+    assert len(pks[0]) == p.pk_bytes and len(sks[0]) == p.sk_bytes
+    assert pks[0][:32] == k["rho"][0]
+
+    # one key, both KAT messages batched (ragged lengths)
+    # KAT messages are per-key, so sign each key's own message
+    for i in range(2):
+        sigs = api.sign(LEVEL, sks[i], [k["m"][i]])
+        expected = k["c"][i] + k["zs"][i] + k["h"][i]
+        assert sigs[0] == expected
+        assert api.verify(LEVEL, pks[i], [(k["m"][i], sigs[0])]) == [True]
+        # wrong message / corrupted signature reject
+        assert api.verify(LEVEL, pks[i], [(b"x" + k["m"][i], sigs[0])]) == [False]
+        bad = bytearray(sigs[0]); bad[40] ^= 1
+        assert api.verify(LEVEL, pks[i], [(k["m"][i], bytes(bad))]) == [False]
+
+
+def test_signer_cached_expansion_matches(kat2):
+    k = kat2
+    _, sks = api.keygen(LEVEL, k["z"][:1])
+    signer = api.Signer(LEVEL, sks[0])
+    msgs = [b"hello", b"", b"a" * 1000]
+    sigs1 = signer.sign(msgs)
+    sigs2 = api.sign(LEVEL, sks[0], msgs)
+    assert sigs1 == sigs2
+
+
+def test_bad_lengths_raise(kat2):
+    with pytest.raises(ValueError):
+        api.keygen(LEVEL, [b"short"])
+    with pytest.raises(ValueError):
+        api.sign(LEVEL, b"\0" * 10, [b"m"])
+    with pytest.raises(ValueError):
+        api.verify(LEVEL, b"\0" * 10, [(b"m", b"s")])
+
+
+def test_wrong_length_signature_rejects(kat2):
+    k = kat2
+    pks, sks = api.keygen(LEVEL, k["z"][:1])
+    assert api.verify(LEVEL, pks[0], [(b"m", b"tiny")]) == [False]

@@ -1,0 +1,80 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+No reference analog (the FPGA is single-chip); mandated by SURVEY.md §4's
+test plan item (d): sharded batch + gather, psum counters, and agreement
+with the single-chip path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dilithium_tpu import params, scheme
+from dilithium_tpu.parallel import (
+    make_mesh, sharded_keygen, sharded_sign, sharded_verify, throughput_counters,
+)
+
+LEVEL = 2
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(jax.devices())
+
+
+@pytest.fixture(scope="module")
+def data(mesh):
+    batch = 8
+    seed = RNG.integers(0, 256, size=(batch, 32), dtype=np.uint8)
+    mu = RNG.integers(0, 256, size=(batch, 64), dtype=np.uint8)
+    sh = NamedSharding(mesh, P("batch", None))
+    return jax.device_put(seed, sh), jax.device_put(mu, sh)
+
+
+def test_sharded_pipeline_matches_single_chip(mesh, data):
+    p = params.get_params(LEVEL)
+    seed, mu = data
+
+    pk, sk, kg_ok = sharded_keygen(mesh, p)(seed)
+    assert np.asarray(kg_ok).all()
+    res = sharded_sign(mesh, p, attempts_per_round=2, max_rounds=64)(sk, mu)
+    assert np.asarray(res.ok).all()
+    ok, total = sharded_verify(mesh, p)(pk, res.sig, mu)
+    assert np.asarray(ok).all()
+    assert int(total) == 8
+    assert int(res.total_signed) == 8
+
+    c = throughput_counters(res)
+    assert c["signed"] == 8 and c["mean_attempts"] >= 1.0
+
+    # bit-identical to the unsharded path (batch packing must not matter)
+    kp = scheme.keygen(seed, p)
+    np.testing.assert_array_equal(np.asarray(pk), np.asarray(kp.pk))
+    ref = scheme.sign(kp.sk, mu, p, attempts_per_round=2, max_rounds=64)
+    np.testing.assert_array_equal(np.asarray(res.sig), np.asarray(ref.sig))
+
+
+def test_replicated_key_sign(mesh, data):
+    p = params.get_params(LEVEL)
+    seed, mu = data
+    kp = scheme.keygen(seed[0], p)
+    res = sharded_sign(
+        mesh, p, attempts_per_round=2, max_rounds=64, replicate_key=True
+    )(kp.sk, mu)
+    assert np.asarray(res.ok).all()
+    ok, total = sharded_verify(mesh, p, replicate_key=True)(kp.pk, res.sig, mu)
+    assert np.asarray(ok).all() and int(total) == 8
+
+
+def test_sharding_layout(mesh, data):
+    p = params.get_params(LEVEL)
+    seed, mu = data
+    pk, sk, _ = sharded_keygen(mesh, p)(seed)
+    # outputs stay batch-sharded on all 8 devices — no implicit gather
+    assert len(sk.sharding.device_set) == 8
+    res = sharded_sign(mesh, p, attempts_per_round=2, max_rounds=64)(sk, mu)
+    assert len(res.sig.sharding.device_set) == 8
+    assert res.total_signed.sharding.is_fully_replicated

@@ -1,0 +1,80 @@
+"""Sampler semantics tests — distributions, determinism, budget flags.
+
+The samplers' bit-exactness vs the reference streaming semantics is pinned
+end-to-end by the KAT replay (test_kat.py); these tests check the
+self-contained invariants (`rejection_a.v`, `rejection_s.v`,
+`rejection_y.v`, `gen_c.v` SampleInBall).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dilithium_tpu.params import Q, N, get_params
+from dilithium_tpu.ops import sampling
+from dilithium_tpu.ops.reduce import center
+
+RNG = np.random.default_rng(6)
+
+
+def _seeds(n, length=32):
+    return jnp.asarray(RNG.integers(0, 256, size=(n, length), dtype=np.uint8))
+
+
+@pytest.mark.parametrize("level", [2, 3, 5])
+def test_expand_a_range_and_determinism(level):
+    p = get_params(level)
+    rho = _seeds(2)
+    a1, ok1 = sampling.expand_a(rho, p)
+    a2, ok2 = sampling.expand_a(rho, p)
+    assert a1.shape == (2, p.K, p.L, N)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert np.asarray(ok1).all()
+    a = np.asarray(a1)
+    assert a.max() < Q
+    # distinct (i, j) entries differ (nonce separation)
+    assert not np.array_equal(a[:, 0, 0], a[:, 0, 1])
+    assert not np.array_equal(a[:, 0, 0], a[:, 1, 0])
+
+
+@pytest.mark.parametrize("level", [2, 3, 5])
+def test_expand_s_bounds(level):
+    p = get_params(level)
+    sigma = _seeds(2, 64)
+    s1, ok = sampling.expand_s(sigma, 0, p.L, p)
+    assert np.asarray(ok).all()
+    c = np.asarray(center(s1))
+    assert c.min() >= -p.eta and c.max() <= p.eta
+    # nonce separation from s2
+    s2, _ = sampling.expand_s(sigma, p.L, p.K, p)
+    assert not np.array_equal(np.asarray(s1)[:, 0], np.asarray(s2)[:, 0])
+
+
+@pytest.mark.parametrize("level", [2, 3, 5])
+def test_expand_mask_bounds_and_kappa(level):
+    p = get_params(level)
+    rhop = _seeds(3, 64)
+    k0 = jnp.zeros((3,), dtype=jnp.uint32)
+    y0 = sampling.expand_mask(rhop, k0, p)
+    c = np.asarray(center(y0))
+    assert c.min() >= -p.gamma1 + 1 and c.max() <= p.gamma1
+    # kappa + L must give fresh polys, and poly l of kappa=L equals poly 0's
+    # nonce collision structure: nonce(kappa, l) = kappa + l
+    yL = sampling.expand_mask(rhop, k0 + jnp.uint32(p.L), p)
+    assert not np.array_equal(np.asarray(y0), np.asarray(yL))
+    y1 = sampling.expand_mask(rhop, k0 + jnp.uint32(1), p)
+    np.testing.assert_array_equal(np.asarray(y0)[:, 1], np.asarray(y1)[:, 0])
+
+
+@pytest.mark.parametrize("level", [2, 3, 5])
+def test_sample_in_ball(level):
+    p = get_params(level)
+    ct = _seeds(4)
+    c, ok = sampling.sample_in_ball(ct, p)
+    assert np.asarray(ok).all()
+    c = np.asarray(c)
+    # exactly tau nonzero coefficients, all in {1, q-1}
+    nz = (c != 0).sum(axis=-1)
+    np.testing.assert_array_equal(nz, p.tau)
+    vals = c[c != 0]
+    assert set(np.unique(vals)) <= {1, Q - 1}

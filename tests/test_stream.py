@@ -1,0 +1,42 @@
+"""sign_stream (refill-queue signer) must be bit-identical to sign.
+
+Lane packing / window size must not affect any signature: each message's
+kappa sequence is independent (`expandmask_ext.v:287-293`).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dilithium_tpu import params, scheme
+
+LEVEL = 2
+RNG = np.random.default_rng(9)
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    p = params.get_params(LEVEL)
+    seed = jnp.asarray(RNG.integers(0, 256, size=(32,), dtype=np.uint8))
+    kp = scheme.keygen(seed, p)
+    ek = scheme.expand_sk(kp.sk, p)
+    mus = jnp.asarray(RNG.integers(0, 256, size=(12, 64), dtype=np.uint8))
+    ref = scheme.sign_expanded(ek, mus, p, attempts_per_round=2, max_rounds=64)
+    return p, kp, ek, mus, ref
+
+
+@pytest.mark.parametrize("window", [3, 12])
+def test_stream_matches_sign(ctx, window):
+    p, kp, ek, mus, ref = ctx
+    res = scheme.sign_stream(ek, mus, p, window=window, max_rounds=512)
+    assert np.asarray(res.ok).all()
+    np.testing.assert_array_equal(np.asarray(res.sig), np.asarray(ref.sig))
+    np.testing.assert_array_equal(np.asarray(res.attempts), np.asarray(ref.attempts))
+
+
+def test_stream_signatures_verify(ctx):
+    p, kp, ek, mus, ref = ctx
+    res = scheme.sign_stream(ek, mus, p, window=5, max_rounds=512)
+    pk = jnp.broadcast_to(kp.pk, (12,) + kp.pk.shape)
+    ok = scheme.verify(pk, res.sig, mus, p)
+    assert np.asarray(ok).all()
