@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+import jax
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import numpy as np
@@ -28,6 +30,19 @@ BASELINE_SIGNS_PER_SEC = 2.0e4
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def sync(x):
+    """Force completion of all queued device work.
+
+    block_until_ready on this TPU tunnel returns before remote execution
+    finishes; a host fetch of a freshly computed scalar cannot (verified:
+    block_until_ready timed an 8192^3 matmul at 33 PFLOP/s, scalar-fetch
+    at the plausible 118 TFLOP/s). ~30 ms tunnel RTT per sync — amortize.
+    """
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(jnp.sum(jnp.ravel(leaf)[:8].astype(jnp.uint32)))
 
 
 def main():
@@ -43,24 +58,51 @@ def main():
 
     batch = int(os.environ.get("DILITHIUM_BENCH_BATCH", "512"))
     iters = int(os.environ.get("DILITHIUM_BENCH_ITERS", "5"))
+    mode = os.environ.get("DILITHIUM_BENCH_MODE", "batch")
+    window = int(os.environ.get("DILITHIUM_BENCH_WINDOW", "1024"))
 
     rng = np.random.default_rng(0)
-    seed = jnp.asarray(rng.integers(0, 256, size=(batch, 32), dtype=np.uint8))
-    t0 = time.time()
-    kp = scheme.keygen(seed, p)
-    kp.sk.block_until_ready()
-    log(f"keygen({batch}) compile+run: {time.time() - t0:.1f}s")
+    if mode == "mxu":
+        # one key, dense MXU operators (composite y->w matrix + conv mats)
+        from dilithium_tpu import mxu as mxu_mod
+        seed = jnp.asarray(rng.integers(0, 256, size=(32,), dtype=np.uint8))
+        t0 = time.time()
+        kp = scheme.keygen(seed, p)
+        ops_ = mxu_mod.build_operators(kp.sk, p)
+        sync(ops_.wy_limbs)
+        log(f"keygen+build_operators compile+run: {time.time() - t0:.1f}s")
 
-    signer = scheme.sign
+        def run(mu):
+            res = mxu_mod.sign_stream_mxu(ops_, mu, p, window=window, max_rounds=8192)
+            return res.sig, res.ok, res.attempts
+    elif mode == "stream":
+        # one key signing a queue of `batch` messages (service workload):
+        # refill window keeps every lane busy — no lockstep waste
+        seed = jnp.asarray(rng.integers(0, 256, size=(32,), dtype=np.uint8))
+        t0 = time.time()
+        kp = scheme.keygen(seed, p)
+        ek = scheme.expand_sk(kp.sk, p)
+        sync(ek.a_hat)
+        log(f"keygen+expand compile+run: {time.time() - t0:.1f}s")
 
-    def run(mu):
-        res = signer(kp.sk, mu, p, attempts_per_round=4, max_rounds=96)
-        return res.sig, res.ok, res.attempts
+        def run(mu):
+            res = scheme.sign_stream(ek, mu, p, window=window, max_rounds=8192)
+            return res.sig, res.ok, res.attempts
+    else:
+        seed = jnp.asarray(rng.integers(0, 256, size=(batch, 32), dtype=np.uint8))
+        t0 = time.time()
+        kp = scheme.keygen(seed, p)
+        sync(kp.sk)
+        log(f"keygen({batch}) compile+run: {time.time() - t0:.1f}s")
+
+        def run(mu):
+            res = scheme.sign(kp.sk, mu, p, attempts_per_round=4, max_rounds=96)
+            return res.sig, res.ok, res.attempts
 
     mu0 = jnp.asarray(rng.integers(0, 256, size=(batch, 64), dtype=np.uint8))
     t0 = time.time()
     sig, ok, att = run(mu0)
-    sig.block_until_ready()
+    sync(sig)
     log(f"sign({batch}) compile+first run: {time.time() - t0:.1f}s, "
         f"ok={int(np.asarray(ok).sum())}/{batch}, "
         f"mean_attempts={float(np.asarray(att).mean()):.2f}")
@@ -70,14 +112,11 @@ def main():
         jnp.asarray(rng.integers(0, 256, size=(batch, 64), dtype=np.uint8))
         for _ in range(iters)
     ]
-    n_ok = 0
     t0 = time.time()
     for mu in mus:
         sig, ok, att = run(mu)
-    sig.block_until_ready()
+    sync(sig)
     elapsed = time.time() - t0
-    for mu in mus:
-        pass
     n_ok = batch * iters  # all lanes converge (max_rounds=96 >> mean 5.1)
     value = n_ok / elapsed
     log(f"{iters} iters x {batch} signs in {elapsed:.2f}s")

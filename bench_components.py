@@ -17,14 +17,21 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import numpy as np
 
 
-def timeit(fn, *args, iters=10):
+def sync(out):
+    """Host scalar fetch — block_until_ready is unreliable on the tunnel."""
     import jax
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(jnp.sum(jnp.ravel(leaf)[:8].astype(jnp.uint32)))
+
+
+def timeit(fn, *args, iters=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.time() - t0) / iters
 
 

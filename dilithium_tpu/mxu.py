@@ -1,0 +1,293 @@
+"""MXU-resident signing path: per-key linear operators as int8 matmuls.
+
+The FPGA streams every polynomial through its butterfly pipeline because
+BRAM is tiny; a TPU has an MXU doing 256x256 int8 MACs per cycle and HBM
+to spare. For a FIXED key the whole hot chain of a sign attempt,
+
+    w  = INTT(A_hat . NTT(y))        (`combined_top.v` FSM1 MULT_A_Y/NTTI_W)
+    cs1 = INTT(c_hat o s1_hat)       (FSM2 MULTACC)
+    cs2 = INTT(c_hat o s2_hat)
+    ct0 = INTT(c_hat o t0_hat)
+
+is LINEAR in y (resp. c). So expand the key once into dense matrices and
+evaluate attempts as matmuls:
+
+  * W_y: [L*256, K*256] over Z_q — built by pushing the identity basis
+    through the existing NTT pipeline; split into 3 balanced base-256
+    int8 limbs per side (9 int8 matmuls, exact in int32 accumulation:
+    |sum| <= 1280 * 128 * 128 < 2^31), recombined mod q with a short
+    Horner chain of Barrett reductions.
+  * S1/S2 negacyclic convolution matrices: entries are the CENTERED
+    secret coefficients (|s| <= eta <= 4) — single int8 matmul, result
+    bounded by beta <= 196: no reduction at all.
+  * T0 convolution matrices in 2 int8 limbs (|t0| <= 2^12).
+
+c has entries in {0, +-1} (int8, 1 "limb"), y needs 3 limbs.
+
+This path powers the single-key throughput service (`sign_stream_mxu`);
+batched-independent-keys paths keep the generic NTT (a composite matrix
+per key would be 5.9 MB/key).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dilithium_tpu.params import Q, N, CRHBYTES, DilithiumParams
+from dilithium_tpu import scheme
+from dilithium_tpu.ops import keccak, ntt, pack, rounding, sampling
+from dilithium_tpu.ops.reduce import (
+    add_mod, center, csubq, mont_mul, mulhi_u32, sub_mod, uncenter,
+)
+
+_I8 = jnp.int8
+_I32 = jnp.int32
+_U8 = jnp.uint8
+_U32 = jnp.uint32
+
+
+class KeyOperators(NamedTuple):
+    """Dense per-key operators (see module docstring)."""
+    wy_limbs: jnp.ndarray   # int8 [3, L*256, K*256] (limb of the INPUT side folded: see build)
+    s1_mat: jnp.ndarray     # int8 [256, L*256]
+    s2_mat: jnp.ndarray     # int8 [256, K*256]
+    t0_lo: jnp.ndarray      # int8 [256, K*256]
+    t0_hi: jnp.ndarray      # int8 [256, K*256]
+    key: jnp.ndarray        # uint8 [32]
+    tr: jnp.ndarray         # uint8 [32]
+
+
+def _to_limbs_i8(m_centered: jnp.ndarray):
+    """Centered int32 in (-q/2, q/2] -> 3 balanced base-256 int8 digits.
+
+    x = d0 + 256*d1 + 65536*d2 with each d in [-128, 127].
+    """
+    x = m_centered.astype(_I32)  # |x| <= q/2 < 2^23: int32 exact throughout
+    d0 = ((x + 128) % 256) - 128
+    x1 = (x - d0) >> 8           # exact: x - d0 divisible by 256
+    d1 = ((x1 + 128) % 256) - 128
+    d2 = (x1 - d1) >> 8
+    return (
+        d0.astype(_I8), d1.astype(_I8), d2.astype(_I8),
+    )
+
+
+def _conv_matrix(s_centered: jnp.ndarray) -> jnp.ndarray:
+    """Negacyclic convolution matrix of one poly: c @ M == c * s mod X^N+1.
+
+    M[j, i] = sign * s[(i - j) mod N], sign = -1 where i < j.
+    s_centered: int32 [..., N]; returns int32 [..., N(j), N(i)].
+    """
+    i = jnp.arange(N)[None, :]
+    j = jnp.arange(N)[:, None]
+    idx = (i - j) % N
+    sgn = jnp.where(i >= j, 1, -1).astype(_I32)
+    return sgn * jnp.take(s_centered, idx, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def build_operators(sk: jnp.ndarray, p: DilithiumParams) -> KeyOperators:
+    """Expand one UNBATCHED sk into dense MXU operators."""
+    rho, key, tr, s1, s2, t0 = pack.unpack_sk(sk, p)
+    a_hat, _ = sampling.expand_a(rho, p)
+    L, K = p.L, p.K
+
+    # composite y -> w map via the identity basis through the NTT pipeline
+    basis = jnp.eye(L * N, dtype=_U32).reshape(L * N, L, N)
+    bh = ntt.ntt(basis)
+    w_basis = ntt.invntt(
+        ntt.matvec(jnp.broadcast_to(a_hat, (L * N, K, L, N)), bh),
+        from_product=True,
+    )  # [L*N, K, N] canonical
+    w_mat = w_basis.reshape(L * N, K * N)
+    limbs = _to_limbs_i8(center(w_mat))
+    wy_limbs = jnp.stack(limbs)  # [3, L*N, K*N]
+
+    s1_mat = jnp.concatenate(
+        [_conv_matrix(center(s1[l])) for l in range(L)], axis=-1
+    ).astype(_I8)  # [256, L*N]
+    s2_mat = jnp.concatenate(
+        [_conv_matrix(center(s2[k])) for k in range(K)], axis=-1
+    ).astype(_I8)
+    # base-128 digits: the conv matrix NEGATES entries (negacyclic wrap),
+    # so digit magnitude must stay <= 127 after negation — base-256's -128
+    # digit would overflow int8 when flipped. |lo| <= 64, |hi| <= 32.
+    t0c = t0.astype(_I32)  # centered already
+    lo = ((t0c + 64) % 128) - 64
+    hi = (t0c - lo) >> 7
+    t0_lo = jnp.concatenate(
+        [_conv_matrix(lo[k]) for k in range(K)], axis=-1
+    ).astype(_I8)
+    t0_hi = jnp.concatenate(
+        [_conv_matrix(hi[k]) for k in range(K)], axis=-1
+    ).astype(_I8)
+    return KeyOperators(wy_limbs, s1_mat, s2_mat, t0_lo, t0_hi, key, tr)
+
+
+# ---- exact mod-q recombination of limb products ----
+
+_MAGIC45 = np.uint32((1 << 45) // Q)  # floor(2^45 / q) = 4198404, 23 bits
+_LIFT = np.uint32((256 * Q) & 0xFFFFFFFF)  # 256*q = 2145386752 < 2^32
+
+
+def _mod_q_i32(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact x mod q -> [0, q) uint32, for int32 x with x + 256*q < 2^32
+    (i.e. x > -256*q and x < 2^32 - 256*q ~ 2.1e9; we use |x| <= ~1.2e9).
+
+    Lift into uint32 via two's-complement add of 256*q, then Barrett with
+    magic = floor(2^45/q): r = u - ((u*magic)>>45)*q lands in [0, ~2q);
+    two conditional subtracts finish. Validated exhaustively-at-random in
+    tests/test_mxu.py.
+    """
+    u = x.astype(_U32) + _LIFT  # exact x + 256q (two's complement)
+    hi = mulhi_u32(u, _MAGIC45)  # (u * magic) >> 32
+    est = hi >> np.uint32(13)    # >> 45 total
+    r = u - est * np.uint32(Q)
+    return csubq(csubq(r))
+
+
+def _recombine(p0, p1, p2, p3, p4):
+    """sum_k 2^(8k) * P_k mod q, P_k int32 |P_k| <= ~2.1e7. Horner chain."""
+    def step(acc_canon, pk):
+        # acc' = pk + 256 * centered(acc); |centered| <= q/2 -> |256*c| < 2^30
+        c = center(acc_canon)
+        return _mod_q_i32(pk + (c << 8))
+
+    acc = _mod_q_i32(p4)
+    acc = step(acc, p3)
+    acc = step(acc, p2)
+    acc = step(acc, p1)
+    acc = step(acc, p0)
+    return acc  # canonical [0, q)
+
+
+def _dot_i8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """int8 [M, K] @ int8 [K, N] -> int32 [M, N] on the MXU."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=_I32
+    )
+
+
+def _apply_wy(y: jnp.ndarray, wy_limbs: jnp.ndarray, p: DilithiumParams):
+    """y uint32 [B, L*256] canonical -> w uint32 [B, K*256] canonical."""
+    yc = center(y)  # int32, |.| <= q/2
+    y0 = ((yc + 128) % 256) - 128
+    r = (yc - y0) >> 8
+    y1 = ((r + 128) % 256) - 128
+    y2 = (r - y1) >> 8
+    ylimbs = [y0.astype(_I8), y1.astype(_I8), y2.astype(_I8)]
+    prods = {}  # power -> int32 sum
+    for i in range(3):
+        for j in range(3):
+            pij = _dot_i8(ylimbs[i], wy_limbs[j])
+            k = i + j
+            prods[k] = pij if k not in prods else prods[k] + pij
+    return _recombine(
+        prods[0], prods[1], prods[2], prods[3], prods[4]
+    )
+
+
+def _sign_attempt_mxu(ops: KeyOperators, mu, rhoprime, kappa, p: DilithiumParams):
+    """One candidate per lane using the dense operators. Mirrors
+    scheme._sign_attempt bit-for-bit (pinned by tests/test_mxu.py)."""
+    B = mu.shape[0]
+    L, K = p.L, p.K
+    y = sampling.expand_mask(rhoprime, kappa, p)  # [B, L, 256]
+    y_flat = y.reshape(B, L * N)
+    w = _apply_wy(y_flat, ops.wy_limbs, p).reshape(B, K, N)
+    w1, w0 = rounding.decompose(w, p)
+
+    w1_packed = pack.pack_w1(w1, p).reshape(B, K * p.polyw1_packedbytes)
+    c_tilde = keccak.shake256(
+        jnp.concatenate([mu.astype(_U8), w1_packed], axis=-1), 32
+    )
+    c, ok_ball = sampling.sample_in_ball(c_tilde, p)  # canonical {0,1,q-1}
+    c_i8 = center(c).astype(_I8)  # {0, +-1}
+
+    cs1 = _dot_i8(c_i8, ops.s1_mat).reshape(B, L, N)  # int32, |.| <= beta
+    z = uncenter(center(y).astype(_I32) + cs1)
+    rej_z = rounding.norm_exceeds(z, p.gamma1 - p.beta, axis=(-2, -1))
+
+    cs2 = _dot_i8(c_i8, ops.s2_mat).reshape(B, K, N)  # |.| <= beta
+    w0_cs2 = w0 - cs2
+    rej_w0 = rounding.norm_exceeds(w0_cs2, p.gamma2 - p.beta, axis=(-2, -1))
+
+    ct0_lo = _dot_i8(c_i8, ops.t0_lo)
+    ct0_hi = _dot_i8(c_i8, ops.t0_hi)
+    ct0 = (ct0_lo + (ct0_hi << 7)).reshape(B, K, N)  # exact, |.| <= tau*2^12
+    rej_t0 = rounding.norm_exceeds(ct0, p.gamma2, axis=(-2, -1))
+
+    hint_a0 = w0_cs2 + ct0
+    h = rounding.make_hint(hint_a0, w1, p)
+    nhints = jnp.sum(h, axis=(-2, -1))
+    rej_h = nhints > jnp.uint32(p.omega)
+
+    accept = ~(rej_z | rej_w0 | rej_t0 | rej_h) & ok_ball
+    return c_tilde, z, h, accept
+
+
+@partial(jax.jit, static_argnames=("p", "window", "max_rounds"))
+def sign_stream_mxu(
+    ops: KeyOperators,
+    mu: jnp.ndarray,
+    p: DilithiumParams,
+    window: int = 1024,
+    max_rounds: int = 8192,
+) -> scheme.SignResult:
+    """Refill-queue signer over the MXU operators (cf. scheme.sign_stream)."""
+    Q_ = mu.shape[0]
+    W = min(window, Q_)
+    sig_len = p.sig_bytes
+
+    key_b = jnp.broadcast_to(ops.key, (Q_,) + ops.key.shape)
+    rhoprime = keccak.shake256(
+        jnp.concatenate([key_b.astype(_U8), mu.astype(_U8)], axis=-1), CRHBYTES
+    )
+
+    zero_w = (mu[:W, 0] & jnp.uint8(0)).astype(_I32)
+
+    def cond(state):
+        qidx, nxt, kappa, sig_out, att_out, rounds = state
+        return jnp.any(qidx < Q_) & (rounds < max_rounds)
+
+    def body(state):
+        qidx, nxt, kappa, sig_out, att_out, rounds = state
+        active = qidx < Q_
+        safe = jnp.minimum(qidx, Q_ - 1)
+        mu_act = jnp.take(mu, safe, axis=0)
+        rp_act = jnp.take(rhoprime, safe, axis=0)
+
+        c_tilde, z, h, accept = _sign_attempt_mxu(
+            ops, mu_act, rp_act, kappa.astype(_U32), p
+        )
+        accept = accept & active
+
+        sig_new = pack.pack_sig(c_tilde, z, h, p)
+        tgt = jnp.where(accept, qidx, Q_)
+        sig_out = sig_out.at[tgt].set(sig_new, mode="drop")
+        att_out = att_out.at[tgt].set(kappa.astype(_I32) // p.L + 1, mode="drop")
+
+        acc = accept.astype(_I32)
+        rank = jnp.cumsum(acc) - acc
+        qidx = jnp.where(accept, nxt + rank, qidx)
+        kappa = jnp.where(accept, 0, jnp.where(active, kappa + p.L, kappa))
+        nxt = nxt + jnp.sum(acc)
+        return qidx, nxt, kappa, sig_out, att_out, rounds + 1
+
+    state0 = (
+        jnp.arange(W, dtype=_I32) + zero_w,
+        jnp.int32(W) + zero_w[0],
+        zero_w,
+        jnp.zeros((Q_, sig_len), dtype=_U8) + (zero_w[0] & 0).astype(_U8),
+        zero_w[0] + jnp.zeros((Q_,), dtype=_I32),
+        zero_w[0],
+    )
+    qidx, nxt, kappa, sig_out, att_out, rounds = jax.lax.while_loop(
+        cond, body, state0
+    )
+    return scheme.SignResult(sig_out, att_out, att_out > 0)

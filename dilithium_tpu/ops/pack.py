@@ -21,6 +21,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dilithium_tpu.params import (
     Q, N, D, SEEDBYTES, TRBYTES, DilithiumParams,
@@ -32,27 +33,79 @@ _U32 = jnp.uint32
 _I32 = jnp.int32
 
 
+def _lcm(a: int, b: int) -> int:
+    from math import gcd
+    return a * b // gcd(a, b)
+
+
 def pack_bits(vals: jnp.ndarray, bits: int) -> jnp.ndarray:
-    """uint32 [..., n] (each < 2^bits) -> uint8 [..., n*bits/8] LE bitstream."""
+    """uint32 [..., n] (each < 2^bits) -> uint8 [..., n*bits/8] LE bitstream.
+
+    Byte-group formulation: g = lcm(8,bits)/bits values produce bg bytes;
+    each output byte is an OR of <= 3 shifted values (computed at trace
+    time) — ~bits/8 x less data movement than a per-bit expansion, which
+    matters because packing runs in every sign attempt (w1 for c_tilde).
+    """
     n = vals.shape[-1]
     assert (n * bits) % 8 == 0
-    shifts = jnp.arange(bits, dtype=_U32)
-    bitarr = (vals[..., :, None].astype(_U32) >> shifts) & jnp.uint32(1)
-    bitarr = bitarr.reshape(vals.shape[:-1] + (n * bits // 8, 8))
-    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=_U32)
-    return jnp.sum(bitarr * weights, axis=-1).astype(_U8)
+    period = _lcm(8, bits)
+    g = period // bits     # values per group
+    bg = period // 8       # bytes per group
+    assert n % g == 0
+    v = vals.astype(_U32).reshape(vals.shape[:-1] + (n // g, g))
+    bytes_out = []
+    for k in range(bg):
+        lo_bit = 8 * k
+        hi_bit = lo_bit + 8
+        acc = None
+        for i in range(g):
+            vstart = bits * i
+            vend = vstart + bits
+            if vend <= lo_bit or vstart >= hi_bit:
+                continue
+            sh = lo_bit - vstart
+            term = (v[..., i] >> np.uint32(sh)) if sh >= 0 else (
+                v[..., i] << np.uint32(-sh)
+            )
+            acc = term if acc is None else (acc | term)
+        bytes_out.append((acc & np.uint32(0xFF)).astype(_U8))
+    out = jnp.stack(bytes_out, axis=-1)  # [..., n//g, bg]
+    return out.reshape(vals.shape[:-1] + (n * bits // 8,))
 
 
 def unpack_bits(data: jnp.ndarray, bits: int) -> jnp.ndarray:
-    """uint8 [..., nbytes] -> uint32 [..., nbytes*8/bits] LE bitstream."""
+    """uint8 [..., nbytes] -> uint32 [..., nbytes*8/bits] LE bitstream.
+
+    Inverse byte-group formulation of pack_bits (<= 4 shifted-byte ORs per
+    value, trace-time unrolled).
+    """
     nbytes = data.shape[-1]
     assert (nbytes * 8) % bits == 0
     n = nbytes * 8 // bits
-    shifts = jnp.arange(8, dtype=_U32)
-    bitarr = (data[..., :, None].astype(_U32) >> shifts) & jnp.uint32(1)
-    bitarr = bitarr.reshape(data.shape[:-1] + (n, bits))
-    weights = (jnp.uint32(1) << jnp.arange(bits, dtype=_U32))
-    return jnp.sum(bitarr * weights, axis=-1)
+    period = _lcm(8, bits)
+    g = period // bits
+    bg = period // 8
+    assert nbytes % bg == 0
+    b = data.astype(_U32).reshape(data.shape[:-1] + (nbytes // bg, bg))
+    vals = []
+    mask = np.uint32((1 << bits) - 1)
+    for i in range(g):
+        vstart = bits * i
+        vend = vstart + bits
+        acc = None
+        for k in range(bg):
+            lo_bit = 8 * k
+            hi_bit = lo_bit + 8
+            if hi_bit <= vstart or lo_bit >= vend:
+                continue
+            sh = lo_bit - vstart
+            term = (b[..., k] << np.uint32(sh)) if sh >= 0 else (
+                b[..., k] >> np.uint32(-sh)
+            )
+            acc = term if acc is None else (acc | term)
+        vals.append(acc & mask)
+    out = jnp.stack(vals, axis=-1)  # [..., nbytes//bg, g]
+    return out.reshape(data.shape[:-1] + (n,))
 
 
 # ---- per-poly codecs (last axis = 256 coefficients) ----

@@ -180,35 +180,51 @@ def sample_in_ball(
     bs = stream[..., 8:].astype(_I32)  # candidate position bytes
     nsteps = bs.shape[-1]
 
-    def step(carry, byte):
-        c, i, used = carry  # c [..., 256], i [...], used [...]
-        active = (i < N) & (byte <= i)
-        j = jnp.clip(byte, 0, N - 1)
-        cj = jnp.take_along_axis(c, j[..., None].astype(_I32), axis=-1)[..., 0]
-        sign_bit = jnp.take_along_axis(
-            sign_bits, jnp.clip(used, 0, 63)[..., None], axis=-1
-        )[..., 0]
-        sval = jnp.where(sign_bit == 1, jnp.uint32(Q - 1), jnp.uint32(1))
-        i_idx = jnp.clip(i, 0, N - 1)
-        # c[i] = c[j]; c[j] = +-1   (order matters when i == j)
-        new_ci = jnp.where(active, cj, jnp.take_along_axis(c, i_idx[..., None], axis=-1)[..., 0])
-        c = _set_along_axis(c, i_idx, new_ci)
-        cur_cj = jnp.take_along_axis(c, j[..., None].astype(_I32), axis=-1)[..., 0]
-        c = _set_along_axis(c, j, jnp.where(active, sval, cur_cj))
-        i = i + active.astype(_I32)
-        used = used + active.astype(_I32)
-        return (c, i, used), None
+    # Phase 1 — acceptance walk on SCALARS only: byte t is consumed by
+    # Fisher–Yates step i iff byte <= i, where i = (N - tau) + #accepted so
+    # far. A [B]-wide 264-step scan of ~4 ops (the sequential part), then a
+    # rank-compact pulls the tau accepted bytes into j[t] slots. This keeps
+    # the expensive [B, 256] work out of the long scan.
+    zero = (stream[..., 0] & jnp.uint8(0)).astype(_I32)  # varying zeros [...]
+    i0 = jnp.full(batch, N - p.tau, dtype=_I32) + zero
 
-    # derive the zero carries from the stream so they inherit its varying
-    # manual axes under shard_map (scan requires carry-in/out type equality)
-    zero = (stream[..., 0] & jnp.uint8(0)).astype(_U32)  # [...], all zeros
-    c0 = jnp.zeros(batch + (N,), dtype=_U32) + zero[..., None]
-    i0 = jnp.full(batch, N - p.tau, dtype=_I32) + zero.astype(_I32)
-    used0 = zero.astype(_I32)
-    # scan over the byte-stream axis: move it to the front
-    bs_t = jnp.moveaxis(bs, -1, 0)
-    (c, i, _), _ = jax.lax.scan(step, (c0, i0, used0), bs_t)
-    ok = i >= N  # all tau positions placed within the byte budget
+    def acc_step(i, byte):
+        take = (i < N) & (byte <= i)
+        return i + take.astype(_I32), take
+
+    i_fin, takes = jax.lax.scan(acc_step, i0, jnp.moveaxis(bs, -1, 0))
+    ok = i_fin >= N
+    takes = jnp.moveaxis(takes, 0, -1)  # [..., nsteps] bool
+    j_bytes, _ = _rank_compact(
+        bs.astype(_U32), takes, p.tau
+    )  # [..., tau]: the accepted j for steps t = 0..tau-1
+
+    # Phase 2 — tau swap steps, gather-free: all position updates are
+    # one-hot selects over the 256 axis (TPU-friendly), i_t = N-tau+t is
+    # static per step.
+    cols = jnp.arange(N, dtype=_I32)  # [256]
+    sval_t = jnp.where(
+        sign_bits[..., : p.tau] == 1, jnp.uint32(Q - 1), jnp.uint32(1)
+    )  # [..., tau]: sign value for step t (signs are consumed in step order)
+
+    def swap_step(c, t_jv):
+        t, j, sval = t_jv  # t scalar int32; j [...]; sval [...]
+        i_t = N - p.tau + t
+        onehot_j = (cols == j[..., None])          # [..., 256]
+        onehot_i = (cols == i_t)                   # [256] (static col)
+        cj = jnp.sum(jnp.where(onehot_j, c, jnp.uint32(0)), axis=-1)  # c[j]
+        c = jnp.where(onehot_i, cj[..., None], c)  # c[i] = c[j]
+        c = jnp.where(onehot_j, sval[..., None], c)  # c[j] = +-1 (after c[i])
+        return c, None
+
+    c0 = jnp.zeros(batch + (N,), dtype=_U32) + zero[..., None].astype(_U32)
+    ts = jnp.arange(p.tau, dtype=_I32)
+    c, _ = jax.lax.scan(
+        swap_step,
+        c0,
+        (ts, jnp.moveaxis(j_bytes.astype(_I32), -1, 0),
+         jnp.moveaxis(sval_t, -1, 0)),
+    )
     return c, ok
 
 

@@ -17,7 +17,11 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# NOTE: the persistent compilation cache is deliberately NOT enabled here —
+# serializing XLA:CPU executables on this machine intermittently segfaults
+# in compilation_cache.put_executable_and_time (machine-feature mismatch in
+# the CPU AOT path). TPU benches still use the cache (stable there).
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 import sys
 
@@ -26,8 +30,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 assert jax.device_count() == 8, "expected 8 virtual CPU devices for sharding tests"
