@@ -56,10 +56,10 @@ def main():
     log(f"device: {dev} ({dev.platform})")
     p = params.get_params(3)
 
-    batch = int(os.environ.get("DILITHIUM_BENCH_BATCH", "512"))
+    batch = int(os.environ.get("DILITHIUM_BENCH_BATCH", "16384"))
     iters = int(os.environ.get("DILITHIUM_BENCH_ITERS", "5"))
-    mode = os.environ.get("DILITHIUM_BENCH_MODE", "batch")
-    window = int(os.environ.get("DILITHIUM_BENCH_WINDOW", "1024"))
+    mode = os.environ.get("DILITHIUM_BENCH_MODE", "stream")
+    window = int(os.environ.get("DILITHIUM_BENCH_WINDOW", "4096"))
 
     rng = np.random.default_rng(0)
     if mode == "mxu":

@@ -242,7 +242,7 @@ def sign_stream_mxu(
     """Refill-queue signer over the MXU operators (cf. scheme.sign_stream)."""
     Q_ = mu.shape[0]
     W = min(window, Q_)
-    sig_len = p.sig_bytes
+    N_ = N
 
     key_b = jnp.broadcast_to(ops.key, (Q_,) + ops.key.shape)
     rhoprime = keccak.shake256(
@@ -252,11 +252,11 @@ def sign_stream_mxu(
     zero_w = (mu[:W, 0] & jnp.uint8(0)).astype(_I32)
 
     def cond(state):
-        qidx, nxt, kappa, sig_out, att_out, rounds = state
+        qidx, nxt, kappa, ct_q, z_q, h_q, att_out, rounds = state
         return jnp.any(qidx < Q_) & (rounds < max_rounds)
 
     def body(state):
-        qidx, nxt, kappa, sig_out, att_out, rounds = state
+        qidx, nxt, kappa, ct_q, z_q, h_q, att_out, rounds = state
         active = qidx < Q_
         safe = jnp.minimum(qidx, Q_ - 1)
         mu_act = jnp.take(mu, safe, axis=0)
@@ -267,9 +267,11 @@ def sign_stream_mxu(
         )
         accept = accept & active
 
-        sig_new = pack.pack_sig(c_tilde, z, h, p)
+        # raw components to the queue; pack once after the drain
         tgt = jnp.where(accept, qidx, Q_)
-        sig_out = sig_out.at[tgt].set(sig_new, mode="drop")
+        ct_q = ct_q.at[tgt].set(c_tilde, mode="drop")
+        z_q = z_q.at[tgt].set(z, mode="drop")
+        h_q = h_q.at[tgt].set(h.astype(_U8), mode="drop")
         att_out = att_out.at[tgt].set(kappa.astype(_I32) // p.L + 1, mode="drop")
 
         acc = accept.astype(_I32)
@@ -277,17 +279,21 @@ def sign_stream_mxu(
         qidx = jnp.where(accept, nxt + rank, qidx)
         kappa = jnp.where(accept, 0, jnp.where(active, kappa + p.L, kappa))
         nxt = nxt + jnp.sum(acc)
-        return qidx, nxt, kappa, sig_out, att_out, rounds + 1
+        return qidx, nxt, kappa, ct_q, z_q, h_q, att_out, rounds + 1
 
+    z8 = (zero_w[0] & 0).astype(_U8)
     state0 = (
         jnp.arange(W, dtype=_I32) + zero_w,
         jnp.int32(W) + zero_w[0],
         zero_w,
-        jnp.zeros((Q_, sig_len), dtype=_U8) + (zero_w[0] & 0).astype(_U8),
+        jnp.zeros((Q_, 32), dtype=_U8) + z8,
+        jnp.zeros((Q_, p.L, N_), dtype=_U32) + z8.astype(_U32),
+        jnp.zeros((Q_, p.K, N_), dtype=_U8) + z8,
         zero_w[0] + jnp.zeros((Q_,), dtype=_I32),
         zero_w[0],
     )
-    qidx, nxt, kappa, sig_out, att_out, rounds = jax.lax.while_loop(
+    qidx, nxt, kappa, ct_q, z_q, h_q, att_out, rounds = jax.lax.while_loop(
         cond, body, state0
     )
+    sig_out = pack.pack_sig(ct_q, z_q, h_q.astype(_U32), p)
     return scheme.SignResult(sig_out, att_out, att_out > 0)

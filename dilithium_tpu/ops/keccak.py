@@ -8,16 +8,25 @@ got from pipelining, and all five scheme hash uses (seed expansion, tr, mu,
 ExpandA/S/Mask streams, SampleInBall — see SURVEY.md §2.3 header-word list)
 funnel through these functions.
 
-64-bit lanes are represented as uint32 (lo, hi) pairs, since the TPU VPU is
-a 32-bit machine. All shapes are static; variable-length absorb is handled
-by the caller padding to a fixed byte length (pad10*1 indices are computed
-at trace time).
+Layout: 64-bit lanes are uint32 (lo, hi) pairs (the TPU VPU is a 32-bit
+machine), held as a structure-of-arrays — 50 separate uint32 arrays whose
+shape IS the batch, folded to [B/128, 128] so every VPU op runs on full
+(8, 128) vector registers. The AoS alternative ([..., 25, 2] with the lane
+index minor) puts the 2-element axis on the 128-lane dimension and runs at
+~8% VPU utilization — measured 93 ns/state vs ~8 ns/state for this layout.
+The permutation is fully unrolled: one XLA fusion, state resident in
+vector registers across all 24 rounds, no HBM round-trips.
+
+All shapes are static; variable-length absorb is handled by the caller
+padding to a fixed byte length (pad10*1 indices are computed at trace
+time), the device analog of the reference's header-word protocol
+(`keccak_datapath.vhd:92-131`).
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Tuple
+import os
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +35,18 @@ import numpy as np
 from dilithium_tpu.params import SHAKE128_RATE, SHAKE256_RATE
 
 _U32 = jnp.uint32
+
+# Permutation backend for the shake hot path: "pallas" (Mosaic kernel,
+# TPU only), "jnp" (XLA fusion, any backend), or "auto" (pallas on TPU).
+_IMPL = os.environ.get("DILITHIUM_KECCAK_IMPL", "auto")
+
+
+def _use_pallas() -> bool:
+    if _IMPL == "pallas":
+        return True
+    if _IMPL == "jnp":
+        return False
+    return jax.default_backend() == "tpu"
 
 # Keccak round constants, split into (lo32, hi32)
 _RC64 = [
@@ -38,8 +59,10 @@ _RC64 = [
     0x000000000000800A, 0x800000008000000A, 0x8000000080008081,
     0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
 ]
-_RC_LO = np.array([c & 0xFFFFFFFF for c in _RC64], dtype=np.uint32)
-_RC_HI = np.array([c >> 32 for c in _RC64], dtype=np.uint32)
+_RC_LO = [np.uint32(c & 0xFFFFFFFF) for c in _RC64]
+_RC_HI = [np.uint32(c >> 32) for c in _RC64]
+_RC_LO_ARR = np.array(_RC_LO, dtype=np.uint32)
+_RC_HI_ARR = np.array(_RC_HI, dtype=np.uint32)
 
 # rho rotation offsets, indexed [x][y] (lane (x, y), x = column)
 _RHO = [
@@ -66,114 +89,226 @@ def _rotl64(lo: jnp.ndarray, hi: jnp.ndarray, r: int) -> Tuple[jnp.ndarray, jnp.
     return (lo << s) | (hi >> t), (hi << s) | (lo >> t)
 
 
+def _round_soa(lo: List, hi: List, rc_lo, rc_hi) -> Tuple[List, List]:
+    """One Keccak round (theta-rho-pi-chi-iota) on lists of lane planes."""
+    # theta
+    c_lo = [lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20] for x in range(5)]
+    c_hi = [hi[x] ^ hi[x + 5] ^ hi[x + 10] ^ hi[x + 15] ^ hi[x + 20] for x in range(5)]
+    for x in range(5):
+        r_lo, r_hi = _rotl64(c_lo[(x + 1) % 5], c_hi[(x + 1) % 5], 1)
+        d_lo = c_lo[(x + 4) % 5] ^ r_lo
+        d_hi = c_hi[(x + 4) % 5] ^ r_hi
+        for y in range(5):
+            lo[x + 5 * y] = lo[x + 5 * y] ^ d_lo
+            hi[x + 5 * y] = hi[x + 5 * y] ^ d_hi
+
+    # rho + pi: B[y][(2x+3y)%5] = rotl(A[x][y], rho[x][y])
+    b_lo: List = [None] * 25
+    b_hi: List = [None] * 25
+    for x in range(5):
+        for y in range(5):
+            bx, by = y, (2 * x + 3 * y) % 5
+            rl, rh = _rotl64(lo[x + 5 * y], hi[x + 5 * y], _RHO[x][y])
+            b_lo[bx + 5 * by] = rl
+            b_hi[bx + 5 * by] = rh
+
+    # chi
+    for y in range(5):
+        row_lo = [b_lo[x + 5 * y] for x in range(5)]
+        row_hi = [b_hi[x + 5 * y] for x in range(5)]
+        for x in range(5):
+            lo[x + 5 * y] = row_lo[x] ^ (~row_lo[(x + 1) % 5] & row_lo[(x + 2) % 5])
+            hi[x + 5 * y] = row_hi[x] ^ (~row_hi[(x + 1) % 5] & row_hi[(x + 2) % 5])
+
+    # iota
+    lo[0] = lo[0] ^ rc_lo
+    hi[0] = hi[0] ^ rc_hi
+    return lo, hi
+
+
+def _f1600_soa(lo: List[jnp.ndarray], hi: List[jnp.ndarray]) -> Tuple[List, List]:
+    """Keccak-f[1600] on a structure-of-arrays state.
+
+    lo/hi: 25 uint32 arrays each (lane k = x + 5*y, FIPS-202 order), any
+    common shape. Fully unrolled — 24 rounds of pure elementwise ops that
+    XLA fuses into one kernel.
+    """
+    lo = list(lo)
+    hi = list(hi)
+    for rnd in range(24):
+        lo, hi = _round_soa(lo, hi, _RC_LO[rnd], _RC_HI[rnd])
+    return lo, hi
+
+
+def _f1600_soa_loop(lo: List[jnp.ndarray], hi: List[jnp.ndarray]) -> Tuple[List, List]:
+    """Same permutation as `_f1600_soa`, as a fori_loop over a stacked carry.
+
+    24x smaller traced graph — used on CPU, where XLA compile time of the
+    fully-unrolled form dominates test latency and runtime fusion quality
+    does not matter.
+    """
+    rc_lo = jnp.asarray(_RC_LO_ARR)
+    rc_hi = jnp.asarray(_RC_HI_ARR)
+
+    def body(rnd, st):
+        lo = [st[k] for k in range(25)]
+        hi = [st[25 + k] for k in range(25)]
+        lo, hi = _round_soa(lo, hi, rc_lo[rnd], rc_hi[rnd])
+        return jnp.stack(lo + hi)
+
+    st = jax.lax.fori_loop(0, 24, body, jnp.stack(list(lo) + list(hi)))
+    return [st[k] for k in range(25)], [st[25 + k] for k in range(25)]
+
+
 def keccak_f1600(state: jnp.ndarray) -> jnp.ndarray:
     """Apply Keccak-f[1600] to a batch of states.
 
     state: uint32 array [..., 25, 2] with [..., k, 0] = low 32 bits of lane
     k and [..., k, 1] = high 32 bits; lane index k = x + 5*y (column-major,
     as in the FIPS-202 spec). Returns the permuted state, same shape.
+
+    Public/testing API — the scheme's hot path goes through `shake`, which
+    keeps the structure-of-arrays layout end to end.
     """
-    rc_lo = jnp.asarray(_RC_LO)
-    rc_hi = jnp.asarray(_RC_HI)
+    lo = [state[..., k, 0] for k in range(25)]
+    hi = [state[..., k, 1] for k in range(25)]
+    f = _f1600_soa_loop if jax.default_backend() == "cpu" else _f1600_soa
+    lo, hi = f(lo, hi)
+    return jnp.stack(
+        [jnp.stack([lo[k], hi[k]], axis=-1) for k in range(25)], axis=-2
+    )
 
-    def round_body(rnd, st):
-        lo = [st[..., k, 0] for k in range(25)]
-        hi = [st[..., k, 1] for k in range(25)]
 
-        # theta
-        c_lo = [lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20] for x in range(5)]
-        c_hi = [hi[x] ^ hi[x + 5] ^ hi[x + 10] ^ hi[x + 15] ^ hi[x + 20] for x in range(5)]
-        for x in range(5):
-            r_lo, r_hi = _rotl64(c_lo[(x + 1) % 5], c_hi[(x + 1) % 5], 1)
-            d_lo = c_lo[(x + 4) % 5] ^ r_lo
-            d_hi = c_hi[(x + 4) % 5] ^ r_hi
-            for y in range(5):
-                lo[x + 5 * y] = lo[x + 5 * y] ^ d_lo
-                hi[x + 5 * y] = hi[x + 5 * y] ^ d_hi
+def _fold_batch(data: jnp.ndarray) -> Tuple[jnp.ndarray, Tuple[int, ...], int]:
+    """[..., n] -> [ceil(B/128), 128, n]: batch on (sublane, lane) axes.
 
-        # rho + pi: B[y][(2x+3y)%5] = rotl(A[x][y], rho[x][y])
-        b_lo: List = [None] * 25
-        b_hi: List = [None] * 25
-        for x in range(5):
-            for y in range(5):
-                bx, by = y, (2 * x + 3 * y) % 5
-                rl, rh = _rotl64(lo[x + 5 * y], hi[x + 5 * y], _RHO[x][y])
-                b_lo[bx + 5 * by] = rl
-                b_hi[bx + 5 * by] = rh
-
-        # chi
-        for y in range(5):
-            row_lo = [b_lo[x + 5 * y] for x in range(5)]
-            row_hi = [b_hi[x + 5 * y] for x in range(5)]
-            for x in range(5):
-                lo[x + 5 * y] = row_lo[x] ^ (~row_lo[(x + 1) % 5] & row_lo[(x + 2) % 5])
-                hi[x + 5 * y] = row_hi[x] ^ (~row_hi[(x + 1) % 5] & row_hi[(x + 2) % 5])
-
-        # iota
-        lo[0] = lo[0] ^ rc_lo[rnd]
-        hi[0] = hi[0] ^ rc_hi[rnd]
-
-        return jnp.stack(
-            [jnp.stack([lo[k], hi[k]], axis=-1) for k in range(25)], axis=-2
+    Every per-lane slice of the folded array is a 2-D [B/128, 128] tile —
+    full (8, 128) VPU register utilization (a flat [B] slice would occupy
+    one sublane). Pads the batch; caller unfolds with `_unfold_batch`.
+    """
+    batch_shape = data.shape[:-1]
+    n = data.shape[-1]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    flat = data.reshape((b, n))
+    pad = (-b) % 128
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((pad, n), dtype=data.dtype)], axis=0
         )
+    return flat.reshape(((b + pad) // 128, 128, n)), batch_shape, b
 
-    return jax.lax.fori_loop(0, 24, round_body, state, unroll=4)
+
+def _unfold_batch(folded: jnp.ndarray, batch_shape: Tuple[int, ...], b: int) -> jnp.ndarray:
+    n = folded.shape[-1]
+    return folded.reshape((-1, n))[:b].reshape(batch_shape + (n,))
 
 
-def _bytes_to_lanes(block: jnp.ndarray) -> jnp.ndarray:
-    """uint8 [..., 8*w] -> uint32 [..., w, 2] little-endian lanes."""
+def _block_lanes(block: jnp.ndarray) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    """uint8 [..., 8*w] -> (lo, hi): w pairs of uint32 [...] LE lanes."""
     w = block.shape[-1] // 8
-    b = block.reshape(block.shape[:-1] + (w, 2, 4)).astype(_U32)
-    word = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
-    return word  # [..., w, 2] with [...,0]=lo, [...,1]=hi
+    by = block.astype(_U32)
+    lo, hi = [], []
+    for k in range(w):
+        o = 8 * k
+        lo.append(
+            by[..., o] | (by[..., o + 1] << 8) | (by[..., o + 2] << 16)
+            | (by[..., o + 3] << 24)
+        )
+        hi.append(
+            by[..., o + 4] | (by[..., o + 5] << 8) | (by[..., o + 6] << 16)
+            | (by[..., o + 7] << 24)
+        )
+    return lo, hi
 
 
-def _lanes_to_bytes(lanes: jnp.ndarray) -> jnp.ndarray:
-    """uint32 [..., w, 2] -> uint8 [..., 8*w] little-endian."""
-    w = lanes.shape[-2]
-    out = jnp.stack(
-        [(lanes >> jnp.uint32(8 * i)) & jnp.uint32(0xFF) for i in range(4)], axis=-1
-    )  # [..., w, 2, 4]
-    return out.astype(jnp.uint8).reshape(lanes.shape[:-2] + (8 * w,))
+def _lanes_bytes(lo: Sequence[jnp.ndarray], hi: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """w uint32 lane pairs [...] -> uint8 [..., 8*w] little-endian."""
+    parts = []
+    for l, h in zip(lo, hi):
+        for word in (l, h):
+            parts.extend(
+                ((word >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)).astype(jnp.uint8)
+                for i in range(4)
+            )
+    return jnp.stack(parts, axis=-1)
+
+
+def _absorb(data: jnp.ndarray, rate: int):
+    """Fold the batch, pad10*1, absorb all blocks. Returns the state as
+    (lo, hi) plane lists plus the unfold metadata and the permute fn."""
+    msg_len = data.shape[-1]
+    nblocks_in = msg_len // rate + 1  # pad10*1 always appends at least 1 byte
+    padded_len = nblocks_in * rate
+
+    folded, batch_shape, b = _fold_batch(data.astype(jnp.uint8))
+
+    # pad10*1 with SHAKE domain byte 0x1F
+    pad = jnp.zeros(folded.shape[:-1] + (padded_len - msg_len,), dtype=jnp.uint8)
+    pad = pad.at[..., 0].set(0x1F)
+    pad = pad.at[..., -1].set(pad[..., -1] | 0x80)
+    padded = jnp.concatenate([folded, pad], axis=-1)
+
+    if _use_pallas():
+        from dilithium_tpu.ops import keccak_pallas
+        permute = keccak_pallas.f1600_lists
+    elif jax.default_backend() == "cpu":
+        permute = _f1600_soa_loop  # compile-time-friendly
+    else:
+        permute = _f1600_soa
+
+    rate_w = rate // 8
+    zeros = jnp.zeros(folded.shape[:-1], dtype=_U32)
+    lo = [zeros] * 25
+    hi = [zeros] * 25
+    for i in range(nblocks_in):
+        blk_lo, blk_hi = _block_lanes(padded[..., i * rate: (i + 1) * rate])
+        for k in range(rate_w):
+            lo[k] = lo[k] ^ blk_lo[k]
+            hi[k] = hi[k] ^ blk_hi[k]
+        lo, hi = permute(lo, hi)
+    return lo, hi, permute, batch_shape, b
 
 
 def shake(data: jnp.ndarray, out_bytes: int, rate: int) -> jnp.ndarray:
     """SHAKE XOF over a batch of fixed-length messages.
 
     data: uint8 [..., msg_len]; returns uint8 [..., out_bytes].
-    rate: 168 for SHAKE128, 136 for SHAKE256. Static shapes only — this is
-    the device analog of the reference's header-word driven Keccak FIFO
-    protocol (`keccak_datapath.vhd:92-131`).
+    rate: 168 for SHAKE128, 136 for SHAKE256.
     """
-    msg_len = data.shape[-1]
-    batch_shape = data.shape[:-1]
-    nblocks_in = msg_len // rate + 1  # pad10*1 always appends at least 1 byte
-    padded_len = nblocks_in * rate
-
-    # pad10*1 with SHAKE domain byte 0x1F
-    pad = jnp.zeros(batch_shape + (padded_len - msg_len,), dtype=jnp.uint8)
-    pad = pad.at[..., 0].set(0x1F)
-    pad = pad.at[..., -1].set(pad[..., -1] | 0x80)
-    padded = jnp.concatenate([data.astype(jnp.uint8), pad], axis=-1)
-
-    # absorb
-    state = jnp.zeros(batch_shape + (25, 2), dtype=_U32)
+    lo, hi, permute, batch_shape, b = _absorb(data, rate)
     rate_w = rate // 8
-    for i in range(nblocks_in):
-        block = padded[..., i * rate: (i + 1) * rate]
-        lanes = _bytes_to_lanes(block)
-        state = state.at[..., :rate_w, :].set(state[..., :rate_w, :] ^ lanes)
-        state = keccak_f1600(state)
-
-    # squeeze
     nblocks_out = -(-out_bytes // rate)
     outs = []
     for i in range(nblocks_out):
-        outs.append(_lanes_to_bytes(state[..., :rate_w, :]))
+        outs.append(_lanes_bytes(lo[:rate_w], hi[:rate_w]))
         if i + 1 < nblocks_out:
-            state = keccak_f1600(state)
+            lo, hi = permute(lo, hi)
     out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
-    return out[..., :out_bytes]
+    return _unfold_batch(out[..., :out_bytes], batch_shape, b)
+
+
+def shake_words(data: jnp.ndarray, out_words: int, rate: int) -> jnp.ndarray:
+    """SHAKE XOF squeezing uint32 words — no byte materialization.
+
+    data: uint8 [..., msg_len]; returns uint32 [..., out_words] where word
+    j holds output-stream bytes 4j..4j+3 little-endian (i.e. the uint32 LE
+    view of the byte stream `shake` would produce). The samplers bit-slice
+    coefficients straight from these words (`pack.unpack_bits_w`), which
+    skips the 8-arrays-per-lane byte explosion of `_lanes_bytes` — the
+    dominant cost of the byte API for long squeezes.
+    """
+    lo, hi, permute, batch_shape, b = _absorb(data, rate)
+    rate_w = rate // 8
+    nblocks_out = -(-(out_words * 4) // rate)
+    words: List[jnp.ndarray] = []
+    for i in range(nblocks_out):
+        for k in range(rate_w):
+            words.append(lo[k])
+            words.append(hi[k])
+        if i + 1 < nblocks_out:
+            lo, hi = permute(lo, hi)
+    out = jnp.stack(words[:out_words], axis=-1)
+    return _unfold_batch(out, batch_shape, b)
 
 
 def shake128(data: jnp.ndarray, out_bytes: int) -> jnp.ndarray:
@@ -182,3 +317,11 @@ def shake128(data: jnp.ndarray, out_bytes: int) -> jnp.ndarray:
 
 def shake256(data: jnp.ndarray, out_bytes: int) -> jnp.ndarray:
     return shake(data, out_bytes, SHAKE256_RATE)
+
+
+def shake128_words(data: jnp.ndarray, out_words: int) -> jnp.ndarray:
+    return shake_words(data, out_words, SHAKE128_RATE)
+
+
+def shake256_words(data: jnp.ndarray, out_words: int) -> jnp.ndarray:
+    return shake_words(data, out_words, SHAKE256_RATE)

@@ -18,13 +18,30 @@ up to reduction convention), stored premultiplied by R = 2^32 so that
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from dilithium_tpu.params import Q, N, MONT_R
 from dilithium_tpu.ops.reduce import mont_mul, add_mod, sub_mod
 
 _ROOT = 1753  # primitive 512th root of unity mod q
+
+# Transform backend: "pallas" (transposed-layout Mosaic kernel, TPU only),
+# "jnp" (roll/select passes, any backend), or "auto" (pallas on TPU —
+# measured ~1.6x faster at large batch). pointwise/matvec stay jnp: they
+# are single fused elementwise ops either way.
+_IMPL = os.environ.get("DILITHIUM_NTT_IMPL", "auto")
+
+
+def _use_pallas() -> bool:
+    if _IMPL == "pallas":
+        return True
+    if _IMPL == "jnp":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def _bitrev8(x: int) -> int:
@@ -89,6 +106,9 @@ def ntt(x: jnp.ndarray) -> jnp.ndarray:
     Output ordering/semantics match the standard Dilithium reference ntt()
     (bit-reversed-zeta CT; cf. `dilithium-256/reference_code/ref_ntt.cpp`).
     """
+    if _use_pallas():
+        from dilithium_tpu.ops import ntt_pallas
+        return ntt_pallas.ntt(x)
     fwd = jnp.asarray(_FWD_ZETAS)
     for s, length in enumerate(_FWD_LENGTHS):
         is_a = jnp.asarray(_ISA_FWD[s])
@@ -110,6 +130,9 @@ def invntt(x: jnp.ndarray, from_product: bool = True) -> jnp.ndarray:
     the final scaling, like the reference folds 1/256 into per-stage div2
     (`ref_ntt2x2.cpp:91`, `butterfly.v:214-222`).
     """
+    if _use_pallas():
+        from dilithium_tpu.ops import ntt_pallas
+        return ntt_pallas.invntt(x, from_product=from_product)
     inv = jnp.asarray(_INV_ZETAS)
     for s, length in enumerate(_INV_LENGTHS):
         is_a = jnp.asarray(_ISA_INV[s])

@@ -73,6 +73,35 @@ def pack_bits(vals: jnp.ndarray, bits: int) -> jnp.ndarray:
     return out.reshape(vals.shape[:-1] + (n * bits // 8,))
 
 
+def unpack_bits_w(words: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """uint32 [..., nwords] LE bitstream -> uint32 [..., nwords*32/bits].
+
+    Word-domain counterpart of `unpack_bits` for XOF streams squeezed as
+    words (`keccak.shake_words`): each value is an OR of <= 2 shifted
+    words (vs <= 4 shifted bytes), and the stream never materializes as
+    bytes. Requires bits <= 32 and nwords*32 % bits == 0.
+    """
+    nwords = words.shape[-1]
+    assert (nwords * 32) % bits == 0
+    period = _lcm(32, bits)
+    g = period // bits      # values per group
+    wg = period // 32       # words per group
+    assert nwords % wg == 0
+    w = words.astype(_U32).reshape(words.shape[:-1] + (nwords // wg, wg))
+    mask = np.uint32((1 << bits) - 1) if bits < 32 else np.uint32(0xFFFFFFFF)
+    vals = []
+    for i in range(g):
+        vstart = bits * i
+        k = vstart // 32
+        s = vstart % 32
+        acc = w[..., k] >> np.uint32(s)
+        if s + bits > 32:
+            acc = acc | (w[..., k + 1] << np.uint32(32 - s))
+        vals.append(acc & mask)
+    out = jnp.stack(vals, axis=-1)  # [..., nwords//wg, g]
+    return out.reshape(words.shape[:-1] + (nwords * 32 // bits,))
+
+
 def unpack_bits(data: jnp.ndarray, bits: int) -> jnp.ndarray:
     """uint8 [..., nbytes] -> uint32 [..., nbytes*8/bits] LE bitstream.
 
@@ -168,26 +197,25 @@ def pack_hints(h: jnp.ndarray, p: DilithiumParams) -> jnp.ndarray:
     concatenated ascending positions of set bits for poly 0, poly 1, ...,
     then byte omega+k = cumulative count through poly k. Assumes total
     weight <= omega (the sign loop rejects otherwise).
+
+    The required output order IS ascending global bit position, so the
+    compaction is a top_k: score non-hints below all hints, hints by
+    descending global position; top_k's descending scores then read out as
+    the first-omega hint positions in ascending order (no scatter — TPU
+    scatters cost more than a whole sign attempt).
     """
     K = p.K
     batch = h.shape[:-2]
-    hf = h.reshape(batch + (K * N,)).astype(_U32)
-    rank = jnp.cumsum(hf, axis=-1) - hf  # index of each set bit in output
-    pos_in_poly = jnp.broadcast_to(
-        jnp.tile(jnp.arange(N, dtype=_U32), K), hf.shape
-    )
-    idx = jnp.where(hf == 1, rank, jnp.uint32(p.omega + K))  # drop non-hints
-    # vmap'd 1-D scatter (no batch-index constants; see sampling._rank_compact)
-    def scat(pos, i):
-        return jnp.zeros((p.omega + K,), dtype=_U32).at[i].set(pos, mode="drop")
-
-    out = jax.vmap(scat)(
-        pos_in_poly.reshape((-1, K * N)), idx.reshape((-1, K * N))
-    ).reshape(batch + (p.omega + K,))
+    hf = h.reshape(batch + (K * N,)).astype(_I32)
+    gpos = jnp.arange(K * N, dtype=_I32)
+    score = jnp.where(hf == 1, (2 * K * N) - gpos, hf - 1)  # non-hints -> -1
+    top, _ = jax.lax.top_k(score, p.omega)  # descending
+    pos = jnp.where(top > 0, ((2 * K * N) - top) % N, 0)  # pos within poly
     # cumulative counts per poly
     counts = jnp.cumsum(jnp.sum(h.astype(_U32), axis=-1), axis=-1)  # [..., K]
-    out = out.at[..., p.omega:].set(counts)
-    return out.astype(_U8)
+    return jnp.concatenate(
+        [pos.astype(_U8), counts.astype(_U8)], axis=-1
+    )
 
 
 def unpack_hints(b: jnp.ndarray, p: DilithiumParams) -> Tuple[jnp.ndarray, jnp.ndarray]:

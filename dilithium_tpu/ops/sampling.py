@@ -32,7 +32,7 @@ from dilithium_tpu.params import (
     Q, N, SHAKE128_RATE, SHAKE256_RATE, DilithiumParams,
 )
 from dilithium_tpu.ops import keccak
-from dilithium_tpu.ops.pack import unpack_bits
+from dilithium_tpu.ops.pack import unpack_bits_w
 from dilithium_tpu.ops.reduce import uncenter
 
 _U8 = jnp.uint8
@@ -90,10 +90,8 @@ def expand_a(rho: jnp.ndarray, p: DilithiumParams) -> Tuple[jnp.ndarray, jnp.nda
         axis=-1,
     )
     nbytes = p.uniform_blocks * SHAKE128_RATE
-    stream = keccak.shake128(msgs, nbytes)  # [..., K*L, nbytes]
-    ncand = nbytes // 3
-    b = stream[..., : ncand * 3].reshape(batch + (K * L, ncand, 3)).astype(_U32)
-    cand = (b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)) & jnp.uint32(0x7FFFFF)
+    words = keccak.shake128_words(msgs, nbytes // 4)  # [..., K*L, nbytes/4]
+    cand = unpack_bits_w(words, 24) & jnp.uint32(0x7FFFFF)
     accept = cand < jnp.uint32(Q)
     out, ok = _rank_compact(cand, accept, N)
     return out.reshape(batch + (K, L, N)), jnp.all(ok, axis=-1)
@@ -119,10 +117,8 @@ def expand_s(
         axis=-1,
     )
     nbytes = p.eta_blocks * SHAKE256_RATE
-    stream = keccak.shake256(msgs, nbytes).astype(_U32)
-    nib = jnp.stack([stream & 0xF, stream >> 4], axis=-1).reshape(
-        batch + (count, nbytes * 2)
-    )
+    words = keccak.shake256_words(msgs, nbytes // 4)
+    nib = unpack_bits_w(words, 4)  # [..., count, nbytes*2]
     if p.eta == 2:
         accept = nib < 15
         val = jnp.int32(2) - (nib % 5).astype(_I32)
@@ -153,8 +149,8 @@ def expand_mask(
         ],
         axis=-1,
     )
-    stream = keccak.shake256(msgs, p.polyz_packedbytes)
-    r = unpack_bits(stream, p.gamma1_bits).astype(_I32)  # [..., L, 256]
+    words = keccak.shake256_words(msgs, p.polyz_packedbytes // 4)
+    r = unpack_bits_w(words, p.gamma1_bits).astype(_I32)  # [..., L, 256]
     return uncenter(jnp.int32(p.gamma1) - r)
 
 
@@ -165,12 +161,16 @@ def sample_in_ball(
 
     Fisher–Yates with tau swaps driven by a SHAKE256(c_tilde) byte stream:
     first 8 bytes are sign bits, then one byte per candidate position with
-    rejection j > i (`gen_c.v:215-222, 330-343`). The sequential walk is a
-    fixed-length `lax.scan` over the byte stream — O(tau) scalar work per
-    signature against O(K*256) vector work elsewhere (SURVEY.md §2.4).
+    rejection j > i (`gen_c.v:215-222, 330-343`). Both phases are fully
+    unrolled elementwise graphs (no lax.scan): the 264-byte acceptance walk
+    runs as a two-level chunked state-map composition over the tau+1
+    possible fill counts, and the tau swap steps are one-hot selects over
+    the 256 axis — everything fuses into a handful of VPU kernels (a
+    264-step lax.scan costs ~19 us/step in loop overhead alone on TPU).
     Output coefficients are canonical {0, 1, q-1}.
     """
     batch = c_tilde.shape[:-1]
+    tau = p.tau
     nbytes = p.ball_blocks * SHAKE256_RATE
     stream = keccak.shake256(c_tilde, nbytes)  # [..., nbytes]
     sign_bytes = stream[..., :8].astype(_U32)
@@ -180,51 +180,74 @@ def sample_in_ball(
     bs = stream[..., 8:].astype(_I32)  # candidate position bytes
     nsteps = bs.shape[-1]
 
-    # Phase 1 — acceptance walk on SCALARS only: byte t is consumed by
-    # Fisher–Yates step i iff byte <= i, where i = (N - tau) + #accepted so
-    # far. A [B]-wide 264-step scan of ~4 ops (the sequential part), then a
-    # rank-compact pulls the tau accepted bytes into j[t] slots. This keeps
-    # the expensive [B, 256] work out of the long scan.
-    zero = (stream[..., 0] & jnp.uint8(0)).astype(_I32)  # varying zeros [...]
-    i0 = jnp.full(batch, N - p.tau, dtype=_I32) + zero
+    # Phase 1 — acceptance walk. Byte t is consumed by Fisher–Yates step
+    # i = (N - tau) + c_t iff byte <= i, where c_t = #accepted so far.
+    # Equivalently with x_t = byte - (N - tau): take_t = (x_t <= c_t),
+    # with the count capped at tau (x_t <= tau always holds for real
+    # bytes, so the capped walk accepts everything once full — the
+    # rank-compact below keeps only the first tau accepts, identical to
+    # the RTL stopping at i = N). The walk has only tau+1 <= 61 states,
+    # so: (a) per 16-byte chunk, advance ALL states 16 steps (vectorized
+    # over chunks); (b) compose the chunk maps in order (17 tiny gathers);
+    # (c) re-walk each chunk from its now-known entry state.
+    x = bs - jnp.int32(N - tau)  # [..., nsteps], values <= tau
+    CH = 16
+    padn = (-nsteps) % CH
+    if padn:
+        x = jnp.concatenate(
+            [x, jnp.full(batch + (padn,), 127, dtype=_I32)], axis=-1
+        )  # 127 > tau: padding never accepted
+    M = x.shape[-1] // CH
+    xc = x.reshape(batch + (M, CH))
 
-    def acc_step(i, byte):
-        take = (i < N) & (byte <= i)
-        return i + take.astype(_I32), take
-
-    i_fin, takes = jax.lax.scan(acc_step, i0, jnp.moveaxis(bs, -1, 0))
-    ok = i_fin >= N
-    takes = jnp.moveaxis(takes, 0, -1)  # [..., nsteps] bool
+    # (a) chunk maps over all tau+1 entry states
+    states = jnp.broadcast_to(
+        jnp.arange(tau + 1, dtype=_I32), batch + (M, tau + 1)
+    )
+    for s in range(CH):
+        xt = xc[..., s][..., None]  # [..., M, 1]
+        states = jnp.minimum(states + (xt <= states).astype(_I32), tau)
+    # (b) entry state of each chunk: compose maps left to right
+    entry = jnp.zeros(batch, dtype=_I32) + (bs[..., 0] & 0)  # varying zeros
+    entries = []
+    for m in range(M):
+        entries.append(entry)
+        entry = jnp.take_along_axis(
+            states[..., m, :], entry[..., None], axis=-1
+        )[..., 0]
+    ok = entry >= tau
+    # (c) exact take flags from the per-chunk entry states
+    st = jnp.stack(entries, axis=-1)  # [..., M]
+    takes_l = []
+    for s in range(CH):
+        xt = xc[..., s]
+        take = xt <= st
+        takes_l.append(take)
+        st = jnp.minimum(st + take.astype(_I32), tau)
+    takes = jnp.stack(takes_l, axis=-1).reshape(batch + (M * CH,))[..., :nsteps]
     j_bytes, _ = _rank_compact(
-        bs.astype(_U32), takes, p.tau
+        bs.astype(_U32), takes, tau
     )  # [..., tau]: the accepted j for steps t = 0..tau-1
 
-    # Phase 2 — tau swap steps, gather-free: all position updates are
-    # one-hot selects over the 256 axis (TPU-friendly), i_t = N-tau+t is
-    # static per step.
+    # Phase 2 — tau swap steps, unrolled, gather-free: all position
+    # updates are one-hot selects over the 256 axis, i_t = N-tau+t is a
+    # static column per step.
     cols = jnp.arange(N, dtype=_I32)  # [256]
     sval_t = jnp.where(
-        sign_bits[..., : p.tau] == 1, jnp.uint32(Q - 1), jnp.uint32(1)
+        sign_bits[..., :tau] == 1, jnp.uint32(Q - 1), jnp.uint32(1)
     )  # [..., tau]: sign value for step t (signs are consumed in step order)
 
-    def swap_step(c, t_jv):
-        t, j, sval = t_jv  # t scalar int32; j [...]; sval [...]
-        i_t = N - p.tau + t
-        onehot_j = (cols == j[..., None])          # [..., 256]
-        onehot_i = (cols == i_t)                   # [256] (static col)
-        cj = jnp.sum(jnp.where(onehot_j, c, jnp.uint32(0)), axis=-1)  # c[j]
-        c = jnp.where(onehot_i, cj[..., None], c)  # c[i] = c[j]
-        c = jnp.where(onehot_j, sval[..., None], c)  # c[j] = +-1 (after c[i])
-        return c, None
-
-    c0 = jnp.zeros(batch + (N,), dtype=_U32) + zero[..., None].astype(_U32)
-    ts = jnp.arange(p.tau, dtype=_I32)
-    c, _ = jax.lax.scan(
-        swap_step,
-        c0,
-        (ts, jnp.moveaxis(j_bytes.astype(_I32), -1, 0),
-         jnp.moveaxis(sval_t, -1, 0)),
+    c = jnp.zeros(batch + (N,), dtype=_U32) + (
+        (stream[..., 0] & jnp.uint8(0)).astype(_U32)[..., None]
     )
+    for t in range(tau):
+        j = j_bytes[..., t].astype(_I32)
+        sval = sval_t[..., t]
+        onehot_j = cols == j[..., None]            # [..., 256]
+        onehot_i = cols == (N - tau + t)           # [256] (static col)
+        cj = jnp.sum(jnp.where(onehot_j, c, jnp.uint32(0)), axis=-1)  # c[j]
+        c = jnp.where(onehot_i, cj[..., None], c)    # c[i] = c[j]
+        c = jnp.where(onehot_j, sval[..., None], c)  # c[j] = +-1 (after c[i])
     return c, ok
 
 

@@ -222,14 +222,12 @@ def sign_expanded(
     mu_r = rep(mu)
     rhoprime_r = rep(rhoprime)
 
-    sig_len = p.sig_bytes
-
     def cond(state):
         done, *_ = state
         return ~jnp.all(done)
 
     def body(state):
-        done, kappa, sig_out, attempts = state
+        done, kappa, ct_out, z_out, h_out, attempts = state
         kappas = kappa[..., None] + jnp.arange(A, dtype=_U32) * jnp.uint32(p.L)
         c_tilde, z, h, accept = _sign_attempt(
             a_hat_r, s1_hat_r, s2_hat_r, t0_hat_r, mu_r, rhoprime_r, kappas, p
@@ -244,16 +242,20 @@ def sign_expanded(
                 x, sel.reshape(sel.shape + (1,) * (x.ndim - sel.ndim)), axis=len(batch)
             ).squeeze(axis=len(batch))
 
-        sig_new = pack.pack_sig(take(c_tilde), take(z), take(h), p)
+        # keep RAW accepted components; byte packing happens ONCE after the
+        # loop — pack_sig (hint codec especially) costs more than a whole
+        # attempt and must stay off the rejection loop's critical path
         newly = any_acc & ~done
-        sig_out = jnp.where(newly[..., None], sig_new, sig_out)
+        ct_out = jnp.where(newly[..., None], take(c_tilde), ct_out)
+        z_out = jnp.where(newly[..., None, None], take(z), z_out)
+        h_out = jnp.where(newly[..., None, None], take(h).astype(_U8), h_out)
         attempts = jnp.where(
             newly, attempts + first + 1,
             jnp.where(done, attempts, attempts + A),
         )
         kappa = jnp.where(done | newly, kappa, kappa + jnp.uint32(A * p.L))
         done = done | any_acc
-        return done, kappa, sig_out, attempts
+        return done, kappa, ct_out, z_out, h_out, attempts
 
     # derive the zero state from mu so it inherits mu's varying manual axes
     # under shard_map (while_loop requires carry-in/out type equality)
@@ -261,7 +263,9 @@ def sign_expanded(
     state0 = (
         zero.astype(jnp.bool_),
         zero.astype(_U32),
-        jnp.zeros(batch + (sig_len,), dtype=_U8) + zero[..., None],
+        jnp.zeros(batch + (SEEDBYTES,), dtype=_U8) + zero[..., None],
+        jnp.zeros(batch + (p.L, N), dtype=_U32) + zero[..., None, None].astype(_U32),
+        jnp.zeros(batch + (p.K, N), dtype=_U8) + zero[..., None, None],
         zero.astype(_I32),
     )
     # bounded while loop: stop after max_rounds regardless (ok=False lanes)
@@ -273,9 +277,10 @@ def sign_expanded(
         state, i = state_i
         return body(state), i + 1
 
-    (done, kappa, sig_out, attempts), _ = jax.lax.while_loop(
+    (done, kappa, ct_out, z_out, h_out, attempts), _ = jax.lax.while_loop(
         cond_bounded, body_bounded, (state0, jnp.int32(0))
     )
+    sig_out = pack.pack_sig(ct_out, z_out, h_out.astype(_U32), p)
     return SignResult(sig_out, attempts, done)
 
 
@@ -307,7 +312,6 @@ def sign_stream(
     """
     Q = mu.shape[0]
     W = min(window, Q)
-    sig_len = p.sig_bytes
 
     key_b = jnp.broadcast_to(ek.key, (Q,) + ek.key.shape)
     rhoprime = keccak.shake256(
@@ -325,11 +329,11 @@ def sign_stream(
     zero_w = (mu[:W, 0] & jnp.uint8(0)).astype(_I32)  # varying zeros [W]
 
     def cond(state):
-        qidx, nxt, kappa, sig_out, att_out, rounds = state
+        qidx, nxt, kappa, ct_q, z_q, h_q, att_out, rounds = state
         return jnp.any(qidx < Q) & (rounds < max_rounds)
 
     def body(state):
-        qidx, nxt, kappa, sig_out, att_out, rounds = state
+        qidx, nxt, kappa, ct_q, z_q, h_q, att_out, rounds = state
         active = qidx < Q
         safe = jnp.minimum(qidx, Q - 1)
         mu_act = jnp.take(mu, safe, axis=0)
@@ -341,9 +345,12 @@ def sign_stream(
         )
         accept = accept & active
 
-        sig_new = pack.pack_sig(c_tilde, z, h, p)  # [W, sig_len]
+        # scatter RAW accepted components to the output queue; byte packing
+        # runs ONCE after the drain (pack_sig costs more than an attempt)
         tgt = jnp.where(accept, qidx, Q)  # Q = dropped
-        sig_out = sig_out.at[tgt].set(sig_new, mode="drop")
+        ct_q = ct_q.at[tgt].set(c_tilde, mode="drop")
+        z_q = z_q.at[tgt].set(z, mode="drop")
+        h_q = h_q.at[tgt].set(h.astype(_U8), mode="drop")
         att_out = att_out.at[tgt].set(
             kappa.astype(_I32) // p.L + 1, mode="drop"
         )
@@ -355,19 +362,23 @@ def sign_stream(
             accept, 0, jnp.where(active, kappa + p.L, kappa)
         )
         nxt = nxt + jnp.sum(acc)
-        return qidx, nxt, kappa, sig_out, att_out, rounds + 1
+        return qidx, nxt, kappa, ct_q, z_q, h_q, att_out, rounds + 1
 
+    z8 = (zero_w[0] & 0).astype(_U8)
     state0 = (
         jnp.arange(W, dtype=_I32) + zero_w,             # qidx
         jnp.int32(W) + zero_w[0],                        # next unassigned
         zero_w,                                          # kappa
-        jnp.zeros((Q, sig_len), dtype=_U8) + (zero_w[0] & 0).astype(_U8),
+        jnp.zeros((Q, SEEDBYTES), dtype=_U8) + z8,       # c_tilde
+        jnp.zeros((Q, p.L, N), dtype=_U32) + z8.astype(_U32),  # z (canonical)
+        jnp.zeros((Q, p.K, N), dtype=_U8) + z8,          # hint bitmap
         zero_w[0] + jnp.zeros((Q,), dtype=_I32),         # attempts (0 = unsigned)
         zero_w[0],                                       # round counter
     )
-    qidx, nxt, kappa, sig_out, att_out, rounds = jax.lax.while_loop(
+    qidx, nxt, kappa, ct_q, z_q, h_q, att_out, rounds = jax.lax.while_loop(
         cond, body, state0
     )
+    sig_out = pack.pack_sig(ct_q, z_q, h_q.astype(_U32), p)
     ok = att_out > 0
     return SignResult(sig_out, att_out, ok)
 

@@ -1,0 +1,51 @@
+"""Pallas Keccak kernel vs the jnp SoA path — bit-exact.
+
+Runs on a real TPU only: Pallas interpret mode is impractically slow for a
+fully-unrolled 24-round permutation (the CPU suite covers the jnp path via
+tests/test_keccak.py; the Pallas path is additionally pinned on hardware by
+every KAT replay and bench run, which go through shake()'s auto dispatch).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dilithium_tpu.ops import keccak
+
+tpu_only = pytest.mark.skipif(
+    jax.default_backend() == "cpu", reason="needs a TPU (no interpret mode)"
+)
+
+RNG = np.random.default_rng(11)
+
+
+@tpu_only
+@pytest.mark.parametrize("sb", [1, 8, 9])
+def test_f1600_folded_matches_soa(sb):
+    from dilithium_tpu.ops import keccak_pallas
+
+    planes = RNG.integers(0, 1 << 32, size=(50, sb, 128), dtype=np.uint64).astype(
+        np.uint32
+    )
+    state = jnp.asarray(planes)
+    got = np.asarray(keccak_pallas.f1600_folded(state))
+    lo, hi = keccak._f1600_soa(
+        [state[k] for k in range(25)], [state[25 + k] for k in range(25)]
+    )
+    exp = np.stack([np.asarray(x) for x in lo] + [np.asarray(x) for x in hi])
+    np.testing.assert_array_equal(got, exp)
+
+
+@tpu_only
+def test_shake_pallas_impl_matches_hashlib(monkeypatch):
+    import hashlib
+
+    monkeypatch.setattr(keccak, "_IMPL", "pallas")
+    msgs = RNG.integers(0, 256, size=(130, 66), dtype=np.uint8)
+    got = np.asarray(keccak.shake256(jnp.asarray(msgs), 200))
+    for i in (0, 17, 129):
+        exp = np.frombuffer(
+            hashlib.shake_256(msgs[i].tobytes()).digest(200), dtype=np.uint8
+        )
+        np.testing.assert_array_equal(got[i], exp, err_msg=f"lane {i}")

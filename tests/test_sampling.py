@@ -66,6 +66,26 @@ def test_expand_mask_bounds_and_kappa(level):
     np.testing.assert_array_equal(np.asarray(y0)[:, 1], np.asarray(y1)[:, 0])
 
 
+def _sample_in_ball_serial(c_tilde: bytes, p):
+    """Straightforward serial SampleInBall (round-3 spec / gen_c.v walk)."""
+    import hashlib
+
+    stream = hashlib.shake_256(c_tilde).digest(p.ball_blocks * 136)
+    signs = int.from_bytes(stream[:8], "little")
+    c = np.zeros(256, dtype=np.uint64)
+    pos = 8
+    for i in range(256 - p.tau, 256):
+        while True:
+            j = stream[pos]
+            pos += 1
+            if j <= i:
+                break
+        c[i] = c[j]
+        c[j] = Q - 1 if (signs & 1) else 1
+        signs >>= 1
+    return c.astype(np.uint32)
+
+
 @pytest.mark.parametrize("level", [2, 3, 5])
 def test_sample_in_ball(level):
     p = get_params(level)
@@ -78,3 +98,14 @@ def test_sample_in_ball(level):
     np.testing.assert_array_equal(nz, p.tau)
     vals = c[c != 0]
     assert set(np.unique(vals)) <= {1, Q - 1}
+
+
+@pytest.mark.parametrize("level", [2, 3, 5])
+def test_sample_in_ball_matches_serial(level):
+    """The chunked-walk vector form == the serial spec walk, per byte."""
+    p = get_params(level)
+    ct = np.asarray(_seeds(16))
+    c = np.asarray(sampling.sample_in_ball(jnp.asarray(ct), p)[0])
+    for lane in range(16):
+        exp = _sample_in_ball_serial(ct[lane].tobytes(), p)
+        np.testing.assert_array_equal(c[lane], exp, err_msg=f"lane {lane}")
