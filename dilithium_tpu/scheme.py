@@ -296,22 +296,28 @@ def sign_stream(
 
     `sign` runs its whole batch in lockstep until every lane accepts, so a
     batch of B pays ~max-of-B geometric attempts per lane (~8x waste at
-    B=8k). Here a window of W lanes each works on its own message; a lane
-    that accepts scatters its signature to the output queue and immediately
-    REFILLS with the next unassigned message, so every attempt in every
-    round is useful work (modulo the final drain). This is the TPU analog
-    of the FPGA hiding attempt i+1's y/w generation behind attempt i's
-    check (`combined_top.v` FSM1/FSM2 interlock) — but W-wide instead of
-    1 message deep.
+    B=8k). Here W attempt SLOTS are distributed over the active messages
+    each round by an elastic scheduler: in steady state every message gets
+    one slot (one candidate nonce per round, refilled from the queue on
+    accept); as the queue drains, idle slots speculatively evaluate the
+    REMAINING messages' next kappa attempts in parallel (message i gets
+    slots s with s mod n_active == i, evaluating kappa, kappa+L, ... in
+    one round), so all W slots do useful work until the queue is truly
+    empty and the drain tail costs ~1 round instead of ~max-of-W
+    geometrics. This is the TPU analog of the FPGA hiding attempt i+1's
+    y/w generation behind attempt i's check (`combined_top.v` FSM1/FSM2
+    interlock) — W-wide and attempt-speculative instead of 1 deep.
 
     Per-message results are bit-identical to `sign`/the serial spec: each
-    message's kappa sequence starts at 0 and advances by L per attempt
-    regardless of lane packing (`expandmask_ext.v:287-293`).
+    message's kappa sequence starts at 0 and advances by L per attempt,
+    and the FIRST accepted kappa is committed, regardless of how attempts
+    are packed into slots (`expandmask_ext.v:287-293`).
 
     ek: unbatched ExpandedKey. mu: uint8 [Q, 64]. Returns SignResult [Q].
     """
     Q = mu.shape[0]
     W = min(window, Q)
+    BIG = jnp.int32(1 << 20)
 
     key_b = jnp.broadcast_to(ek.key, (Q,) + ek.key.shape)
     rhoprime = keccak.shake256(
@@ -327,56 +333,85 @@ def sign_stream(
     t0_hat = bcast(ek.t0_hat)
 
     zero_w = (mu[:W, 0] & jnp.uint8(0)).astype(_I32)  # varying zeros [W]
+    slots = jnp.arange(W, dtype=_I32)                 # static slot ids
 
     def cond(state):
-        qidx, nxt, kappa, ct_q, z_q, h_q, att_out, rounds = state
-        return jnp.any(qidx < Q) & (rounds < max_rounds)
+        n_active, nxt, qidx, kappa, ct_q, z_q, h_q, att_out, rounds = state
+        return (n_active > 0) & (rounds < max_rounds)
 
     def body(state):
-        qidx, nxt, kappa, ct_q, z_q, h_q, att_out, rounds = state
-        active = qidx < Q
-        safe = jnp.minimum(qidx, Q - 1)
-        mu_act = jnp.take(mu, safe, axis=0)
-        rp_act = jnp.take(rhoprime, safe, axis=0)
+        n_active, nxt, qidx, kappa, ct_q, z_q, h_q, att_out, rounds = state
+        na = jnp.maximum(n_active, 1)
+        # slot s serves item s % na with attempt index t = s // na
+        item = slots % na                 # [W]
+        t = slots // na                   # [W]
+        q_s = jnp.take(qidx, item)        # queue index per slot
+        kap_s = jnp.take(kappa, item) + t * jnp.int32(p.L)
+        safe = jnp.minimum(q_s, Q - 1)
+        mu_s = jnp.take(mu, safe, axis=0)
+        rp_s = jnp.take(rhoprime, safe, axis=0)
 
         c_tilde, z, h, accept = _sign_attempt(
-            a_hat, s1_hat, s2_hat, t0_hat, mu_act, rp_act,
-            kappa.astype(_U32), p,
+            a_hat, s1_hat, s2_hat, t0_hat, mu_s, rp_s,
+            kap_s.astype(_U32), p,
         )
-        accept = accept & active
+        accept = accept & (q_s < Q)
 
-        # scatter RAW accepted components to the output queue; byte packing
-        # runs ONCE after the drain (pack_sig costs more than an attempt)
-        tgt = jnp.where(accept, qidx, Q)  # Q = dropped
-        ct_q = ct_q.at[tgt].set(c_tilde, mode="drop")
-        z_q = z_q.at[tgt].set(z, mode="drop")
-        h_q = h_q.at[tgt].set(h.astype(_U8), mode="drop")
+        # per item: smallest accepted attempt index among its slots
+        win_t = jnp.full((W,), BIG, dtype=_I32) + zero_w
+        win_t = win_t.at[item].min(jnp.where(accept, t, BIG), mode="drop")
+        committed = win_t < BIG           # [W] (item-indexed)
+        # winning slot of item i is i + na * win_t[i]
+        win_slot = jnp.minimum(slots + na * jnp.where(committed, win_t, 0), W - 1)
+
+        tgt = jnp.where(committed, qidx, Q)  # scatter only committed items
+        ct_q = ct_q.at[tgt].set(jnp.take(c_tilde, win_slot, axis=0), mode="drop")
+        z_q = z_q.at[tgt].set(jnp.take(z, win_slot, axis=0), mode="drop")
+        h_q = h_q.at[tgt].set(
+            jnp.take(h, win_slot, axis=0).astype(_U8), mode="drop"
+        )
         att_out = att_out.at[tgt].set(
-            kappa.astype(_I32) // p.L + 1, mode="drop"
+            kappa // p.L + jnp.where(committed, win_t, 0) + 1, mode="drop"
         )
 
-        acc = accept.astype(_I32)
-        rank = jnp.cumsum(acc) - acc
-        qidx = jnp.where(accept, nxt + rank, qidx)
-        kappa = jnp.where(
-            accept, 0, jnp.where(active, kappa + p.L, kappa)
+        # advance kappa of surviving items by their slot count this round
+        n_slots = W // na + (slots < W % na).astype(_I32)  # [W] per item
+        kappa_adv = kappa + n_slots * jnp.int32(p.L)
+
+        # compact survivors to the front, refill the tail from the queue
+        alive = (slots < n_active) & ~committed
+        rank = jnp.cumsum(alive.astype(_I32)) - alive.astype(_I32)
+        n_surv = jnp.sum(alive.astype(_I32))
+        pos = jnp.where(alive, rank, W)  # W = dropped
+        qidx_new = jnp.full((W,), Q, dtype=_I32) + zero_w
+        kappa_new = zero_w
+        qidx_new = qidx_new.at[pos].set(qidx, mode="drop")
+        kappa_new = kappa_new.at[pos].set(kappa_adv, mode="drop")
+        # fresh items from the queue fill ranks [n_surv, n_active')
+        fresh = nxt + (slots - n_surv)
+        take_fresh = (slots >= n_surv) & (fresh < Q)
+        qidx_new = jnp.where(take_fresh, fresh, qidx_new)
+        kappa_new = jnp.where(take_fresh, 0, kappa_new)
+        n_fresh = jnp.sum(take_fresh.astype(_I32))
+        return (
+            n_surv + n_fresh, nxt + n_fresh, qidx_new, kappa_new,
+            ct_q, z_q, h_q, att_out, rounds + 1,
         )
-        nxt = nxt + jnp.sum(acc)
-        return qidx, nxt, kappa, ct_q, z_q, h_q, att_out, rounds + 1
 
     z8 = (zero_w[0] & 0).astype(_U8)
     state0 = (
-        jnp.arange(W, dtype=_I32) + zero_w,             # qidx
+        jnp.int32(W) + zero_w[0],                        # n_active
         jnp.int32(W) + zero_w[0],                        # next unassigned
-        zero_w,                                          # kappa
+        jnp.arange(W, dtype=_I32) + zero_w,              # qidx (item -> queue)
+        zero_w,                                          # kappa per item
         jnp.zeros((Q, SEEDBYTES), dtype=_U8) + z8,       # c_tilde
         jnp.zeros((Q, p.L, N), dtype=_U32) + z8.astype(_U32),  # z (canonical)
         jnp.zeros((Q, p.K, N), dtype=_U8) + z8,          # hint bitmap
         zero_w[0] + jnp.zeros((Q,), dtype=_I32),         # attempts (0 = unsigned)
         zero_w[0],                                       # round counter
     )
-    qidx, nxt, kappa, ct_q, z_q, h_q, att_out, rounds = jax.lax.while_loop(
-        cond, body, state0
+    (n_active, nxt, qidx, kappa, ct_q, z_q, h_q, att_out, rounds) = (
+        jax.lax.while_loop(cond, body, state0)
     )
     sig_out = pack.pack_sig(ct_q, z_q, h_q.astype(_U32), p)
     ok = att_out > 0
