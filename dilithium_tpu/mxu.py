@@ -97,15 +97,21 @@ def build_operators(sk: jnp.ndarray, p: DilithiumParams) -> KeyOperators:
     a_hat, _ = sampling.expand_a(rho, p)
     L, K = p.L, p.K
 
-    # composite y -> w map via the identity basis through the NTT pipeline
-    basis = jnp.eye(L * N, dtype=_U32).reshape(L * N, L, N)
-    bh = ntt.ntt(basis)
-    w_basis = ntt.invntt(
-        ntt.matvec(jnp.broadcast_to(a_hat, (L * N, K, L, N)), bh),
-        from_product=True,
-    )  # [L*N, K, N] canonical
-    w_mat = w_basis.reshape(L * N, K * N)
-    limbs = _to_limbs_i8(center(w_mat))
+    # composite y -> w map: w[k] = sum_l y[l] * A[k,l] mod (X^N+1), so the
+    # [L*N, K*N] matrix is the KxL grid of negacyclic convolution matrices
+    # of the PLAIN matrix polynomials A[k,l] = INTT(A_hat[k,l]) — no basis
+    # push through the NTT pipeline needed
+    a_poly = center(ntt.invntt(a_hat, from_product=False))  # [K, L, N] int32
+    w_mat = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [_conv_matrix(a_poly[k, l]) for k in range(K)], axis=-1
+            )  # [N, K*N]
+            for l in range(L)
+        ],
+        axis=0,
+    )  # [L*N, K*N] centered int32
+    limbs = _to_limbs_i8(w_mat)
     wy_limbs = jnp.stack(limbs)  # [3, L*N, K*N]
 
     s1_mat = jnp.concatenate(
@@ -239,61 +245,18 @@ def sign_stream_mxu(
     window: int = 1024,
     max_rounds: int = 8192,
 ) -> scheme.SignResult:
-    """Refill-queue signer over the MXU operators (cf. scheme.sign_stream)."""
+    """Elastic-scheduler stream signer over the MXU operators — same loop
+    as `scheme.sign_stream` (shared `_stream_loop`), with the attempt body
+    running on dense int8 matmuls instead of the NTT pipeline."""
     Q_ = mu.shape[0]
     W = min(window, Q_)
-    N_ = N
 
     key_b = jnp.broadcast_to(ops.key, (Q_,) + ops.key.shape)
     rhoprime = keccak.shake256(
         jnp.concatenate([key_b.astype(_U8), mu.astype(_U8)], axis=-1), CRHBYTES
     )
 
-    zero_w = (mu[:W, 0] & jnp.uint8(0)).astype(_I32)
+    def attempt(mu_s, rp_s, kappa_s):
+        return _sign_attempt_mxu(ops, mu_s, rp_s, kappa_s, p)
 
-    def cond(state):
-        qidx, nxt, kappa, ct_q, z_q, h_q, att_out, rounds = state
-        return jnp.any(qidx < Q_) & (rounds < max_rounds)
-
-    def body(state):
-        qidx, nxt, kappa, ct_q, z_q, h_q, att_out, rounds = state
-        active = qidx < Q_
-        safe = jnp.minimum(qidx, Q_ - 1)
-        mu_act = jnp.take(mu, safe, axis=0)
-        rp_act = jnp.take(rhoprime, safe, axis=0)
-
-        c_tilde, z, h, accept = _sign_attempt_mxu(
-            ops, mu_act, rp_act, kappa.astype(_U32), p
-        )
-        accept = accept & active
-
-        # raw components to the queue; pack once after the drain
-        tgt = jnp.where(accept, qidx, Q_)
-        ct_q = ct_q.at[tgt].set(c_tilde, mode="drop")
-        z_q = z_q.at[tgt].set(z, mode="drop")
-        h_q = h_q.at[tgt].set(h.astype(_U8), mode="drop")
-        att_out = att_out.at[tgt].set(kappa.astype(_I32) // p.L + 1, mode="drop")
-
-        acc = accept.astype(_I32)
-        rank = jnp.cumsum(acc) - acc
-        qidx = jnp.where(accept, nxt + rank, qidx)
-        kappa = jnp.where(accept, 0, jnp.where(active, kappa + p.L, kappa))
-        nxt = nxt + jnp.sum(acc)
-        return qidx, nxt, kappa, ct_q, z_q, h_q, att_out, rounds + 1
-
-    z8 = (zero_w[0] & 0).astype(_U8)
-    state0 = (
-        jnp.arange(W, dtype=_I32) + zero_w,
-        jnp.int32(W) + zero_w[0],
-        zero_w,
-        jnp.zeros((Q_, 32), dtype=_U8) + z8,
-        jnp.zeros((Q_, p.L, N_), dtype=_U32) + z8.astype(_U32),
-        jnp.zeros((Q_, p.K, N_), dtype=_U8) + z8,
-        zero_w[0] + jnp.zeros((Q_,), dtype=_I32),
-        zero_w[0],
-    )
-    qidx, nxt, kappa, ct_q, z_q, h_q, att_out, rounds = jax.lax.while_loop(
-        cond, body, state0
-    )
-    sig_out = pack.pack_sig(ct_q, z_q, h_q.astype(_U32), p)
-    return scheme.SignResult(sig_out, att_out, att_out > 0)
+    return scheme._stream_loop(attempt, mu, rhoprime, p, W, max_rounds)

@@ -317,7 +317,6 @@ def sign_stream(
     """
     Q = mu.shape[0]
     W = min(window, Q)
-    BIG = jnp.int32(1 << 20)
 
     key_b = jnp.broadcast_to(ek.key, (Q,) + ek.key.shape)
     rhoprime = keccak.shake256(
@@ -331,6 +330,23 @@ def sign_stream(
     s1_hat = bcast(ek.s1_hat)
     s2_hat = bcast(ek.s2_hat)
     t0_hat = bcast(ek.t0_hat)
+
+    def attempt(mu_s, rp_s, kappa_s):
+        return _sign_attempt(
+            a_hat, s1_hat, s2_hat, t0_hat, mu_s, rp_s, kappa_s, p
+        )
+
+    return _stream_loop(attempt, mu, rhoprime, p, W, max_rounds)
+
+
+def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
+    """Elastic attempt-slot loop shared by the generic and MXU signers.
+
+    attempt_fn(mu_s uint8 [W,64], rp_s uint8 [W,64], kappa_s uint32 [W])
+    -> (c_tilde, z, h, accept) per slot.
+    """
+    Q = mu.shape[0]
+    BIG = jnp.int32(1 << 20)
 
     zero_w = (mu[:W, 0] & jnp.uint8(0)).astype(_I32)  # varying zeros [W]
     slots = jnp.arange(W, dtype=_I32)                 # static slot ids
@@ -351,10 +367,7 @@ def sign_stream(
         mu_s = jnp.take(mu, safe, axis=0)
         rp_s = jnp.take(rhoprime, safe, axis=0)
 
-        c_tilde, z, h, accept = _sign_attempt(
-            a_hat, s1_hat, s2_hat, t0_hat, mu_s, rp_s,
-            kap_s.astype(_U32), p,
-        )
+        c_tilde, z, h, accept = attempt_fn(mu_s, rp_s, kap_s.astype(_U32))
         accept = accept & (q_s < Q)
 
         # per item: smallest accepted attempt index among its slots
