@@ -269,12 +269,52 @@ def _absorb(data: jnp.ndarray, rate: int):
     return lo, hi, permute, batch_shape, b
 
 
+def _shake_words_fused(data: jnp.ndarray, out_words: int, rate: int) -> jnp.ndarray:
+    """Fused-kernel SHAKE: one pallas_call for absorb + all squeezes.
+
+    Same contract as `shake_words`. The per-block plane packing (bytes ->
+    lane words, pad10*1) stays in XLA — cheap elementwise prologue that
+    fuses with the caller — while every Keccak permutation runs inside a
+    single Mosaic kernel with the state resident in registers/VMEM.
+    """
+    from dilithium_tpu.ops import keccak_pallas
+
+    msg_len = data.shape[-1]
+    nblocks_in = msg_len // rate + 1
+    padded_len = nblocks_in * rate
+
+    folded, batch_shape, b = _fold_batch(data.astype(jnp.uint8))
+    pad = jnp.zeros(folded.shape[:-1] + (padded_len - msg_len,), dtype=jnp.uint8)
+    pad = pad.at[..., 0].set(0x1F)
+    pad = pad.at[..., -1].set(pad[..., -1] | 0x80)
+    padded = jnp.concatenate([folded, pad], axis=-1)
+
+    rate_w = rate // 8
+    # bytes -> little-endian u32 lane words in ONE bitcast (the byte-slice
+    # packing of `_block_lanes` costs ~270 strided minor-axis u8 slices —
+    # measured 10x the kernel itself). Word 2k / 2k+1 of block b land at
+    # plane b*2*rate_w + 2k (+1): exactly the kernel's absorb layout.
+    w32 = jax.lax.bitcast_convert_type(
+        padded.reshape(padded.shape[:-1] + (padded_len // 4, 4)), jnp.uint32
+    )  # [SB, 128, padded_len/4]
+    stack = jnp.moveaxis(w32, -1, 0)  # [nblocks_in * 2*rate_w, SB, 128]
+    out = keccak_pallas.shake_words_folded(stack, out_words, rate_w)
+    return _unfold_batch(jnp.moveaxis(out, 0, -1), batch_shape, b)
+
+
 def shake(data: jnp.ndarray, out_bytes: int, rate: int) -> jnp.ndarray:
     """SHAKE XOF over a batch of fixed-length messages.
 
     data: uint8 [..., msg_len]; returns uint8 [..., out_bytes].
     rate: 168 for SHAKE128, 136 for SHAKE256.
     """
+    if _use_pallas():
+        out_words = -(-out_bytes // 4)
+        words = _shake_words_fused(data, out_words, rate)
+        by = (
+            words[..., None] >> (jnp.arange(4, dtype=_U32) * 8)
+        ).astype(jnp.uint8)
+        return by.reshape(words.shape[:-1] + (out_words * 4,))[..., :out_bytes]
     lo, hi, permute, batch_shape, b = _absorb(data, rate)
     rate_w = rate // 8
     nblocks_out = -(-out_bytes // rate)
@@ -297,6 +337,8 @@ def shake_words(data: jnp.ndarray, out_words: int, rate: int) -> jnp.ndarray:
     skips the 8-arrays-per-lane byte explosion of `_lanes_bytes` — the
     dominant cost of the byte API for long squeezes.
     """
+    if _use_pallas():
+        return _shake_words_fused(data, out_words, rate)
     lo, hi, permute, batch_shape, b = _absorb(data, rate)
     rate_w = rate // 8
     nblocks_out = -(-(out_words * 4) // rate)

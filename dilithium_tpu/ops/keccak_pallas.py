@@ -70,3 +70,83 @@ def f1600_lists(lo, hi):
     state = jnp.stack(list(lo) + list(hi))
     out = f1600_folded(state)
     return [out[k] for k in range(25)], [out[25 + k] for k in range(25)]
+
+
+# ---------------------------------------------------------------------------
+# Fused XOF: absorb + every squeeze permutation in ONE kernel invocation.
+#
+# The per-permutation `f1600_lists` path pays a full HBM round-trip of the
+# 1600-bit state (50 planes in + 50 out) and a kernel launch per
+# permutation; a 5-block SHAKE256 squeeze (ExpandMask's shape) measured
+# 2.2x SLOWER than the fused-by-XLA jnp path because of it. Here the state
+# lives in vector registers/VMEM across all absorb and squeeze
+# permutations — the input is read once (rate-lane words per block, pad
+# already applied) and each output word plane is written once. This is the
+# closest TPU analog of the reference's Keccak core, which keeps the
+# 1600-bit state in a register through the whole absorb/squeeze schedule
+# (`keccak_fsm2.vhd:46-78` shake_process/shake_output_wait loop).
+# ---------------------------------------------------------------------------
+
+
+def _xof_kernel(in_ref, out_ref, *, nblocks_in, rate_w, out_words):
+    zeros = jnp.zeros_like(in_ref[0])
+    lo = [zeros] * 25
+    hi = [zeros] * 25
+    nblocks_out = -(-out_words // (2 * rate_w))
+    for b in range(nblocks_in):
+        base = b * 2 * rate_w
+        for k in range(rate_w):
+            lo[k] = lo[k] ^ in_ref[base + 2 * k]
+            hi[k] = hi[k] ^ in_ref[base + 2 * k + 1]
+        lo, hi = _kref._f1600_soa(lo, hi)
+    w = 0
+    for i in range(nblocks_out):
+        for k in range(rate_w):
+            if w < out_words:
+                out_ref[w] = lo[k]
+                w += 1
+            if w < out_words:
+                out_ref[w] = hi[k]
+                w += 1
+        if i + 1 < nblocks_out:
+            lo, hi = _kref._f1600_soa(lo, hi)
+
+
+def shake_words_folded(
+    planes: jnp.ndarray, out_words: int, rate_w: int, *, interpret: bool = False
+) -> jnp.ndarray:
+    """Fused SHAKE on folded lane-word planes.
+
+    planes: uint32 [nblocks_in * 2*rate_w, SB, 128] — absorb-ready lane
+    words (lo/hi interleaved per lane, block-major; pad10*1 applied by the
+    caller). Returns uint32 [out_words, SB, 128]: output-stream word j of
+    every state (word j = squeeze bytes 4j..4j+3, little-endian).
+    """
+    import functools
+
+    n_in, sb, _ = planes.shape
+    nblocks_in = n_in // (2 * rate_w)
+    pad = (-sb) % _TILE
+    if pad:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((n_in, pad, 128), dtype=jnp.uint32)], axis=1
+        )
+    sbp = sb + pad
+    kernel = functools.partial(
+        _xof_kernel, nblocks_in=nblocks_in, rate_w=rate_w, out_words=out_words
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(sbp // _TILE,),
+        in_specs=[
+            pl.BlockSpec((n_in, _TILE, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((out_words, _TILE, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((out_words, sbp, 128), jnp.uint32),
+        interpret=interpret,
+    )(planes)
+    if pad:
+        out = out[:, :sb]
+    return out

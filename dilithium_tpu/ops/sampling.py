@@ -176,6 +176,13 @@ def sample_in_ball(
     batch = c_tilde.shape[:-1]
     tau = p.tau
     nbytes = p.ball_blocks * SHAKE256_RATE
+    if keccak._use_pallas():
+        # Fused path: SHAKE words -> single Mosaic kernel for both phases
+        # (walk + swaps register-resident; see ops/ball_pallas.py).
+        from dilithium_tpu.ops import ball_pallas
+        nb = (nbytes // 4) * 4
+        words = keccak.shake256_words(c_tilde, nb // 4)
+        return ball_pallas.sample_in_ball_words(words, tau, nb)
     stream = keccak.shake256(c_tilde, nbytes)  # [..., nbytes]
     sign_bytes = stream[..., :8].astype(_U32)
     sign_bits = (

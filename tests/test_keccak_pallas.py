@@ -49,3 +49,39 @@ def test_shake_pallas_impl_matches_hashlib(monkeypatch):
             hashlib.shake_256(msgs[i].tobytes()).digest(200), dtype=np.uint8
         )
         np.testing.assert_array_equal(got[i], exp, err_msg=f"lane {i}")
+
+
+@tpu_only
+@pytest.mark.parametrize("msg_len,out_words,rate", [
+    (34, 252, 168),   # ExpandA shape
+    (66, 160, 136),   # ExpandMask shape
+    (832, 8, 136),    # c_tilde shape (mu || w1, level 3)
+])
+def test_fused_xof_matches_hashlib(msg_len, out_words, rate):
+    import hashlib
+
+    msgs = RNG.integers(0, 256, size=(137, msg_len), dtype=np.uint8)
+    got = np.asarray(keccak._shake_words_fused(jnp.asarray(msgs), out_words, rate))
+    h = hashlib.shake_128 if rate == 168 else hashlib.shake_256
+    for i in (0, 17, 136):
+        exp = np.frombuffer(
+            h(msgs[i].tobytes()).digest(out_words * 4), dtype=np.uint32
+        )
+        np.testing.assert_array_equal(got[i], exp, err_msg=f"lane {i}")
+
+
+@tpu_only
+@pytest.mark.parametrize("level", [2, 3, 5])
+def test_ball_pallas_matches_jnp(level, monkeypatch):
+    from dilithium_tpu.params import get_params
+    from dilithium_tpu.ops import sampling
+
+    p = get_params(level)
+    ct = jnp.asarray(RNG.integers(0, 256, size=(300, 32), dtype=np.uint8))
+    monkeypatch.setattr(keccak, "_IMPL", "pallas")
+    c_p, ok_p = sampling.sample_in_ball(ct, p)
+    monkeypatch.setattr(keccak, "_IMPL", "jnp")
+    c_j, ok_j = sampling.sample_in_ball(ct, p)
+    np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_j))
+    np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_j))
+    assert np.asarray(ok_p).all()
