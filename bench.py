@@ -12,6 +12,11 @@ higher clocks. We take BASELINE = 2.0e4 signs/sec (a reference-favorable
 
 Runs on the default JAX backend (the real TPU chip under the driver).
 Extra diagnostics go to stderr; stdout carries only the JSON line.
+
+Default mode is "mxu" (dense per-key int8 operators on the systolic
+array + elastic attempt scheduler): measured 105.3k signs/sec vs 46.0k
+for the generic-NTT "stream" mode and ~34k for lockstep "batch" mode on
+the same chip/batch (2026-08-17, v5e-1, batch 16384, window 4096).
 """
 
 import json
@@ -58,7 +63,7 @@ def main():
 
     batch = int(os.environ.get("DILITHIUM_BENCH_BATCH", "16384"))
     iters = int(os.environ.get("DILITHIUM_BENCH_ITERS", "5"))
-    mode = os.environ.get("DILITHIUM_BENCH_MODE", "stream")
+    mode = os.environ.get("DILITHIUM_BENCH_MODE", "mxu")
     window = int(os.environ.get("DILITHIUM_BENCH_WINDOW", "4096"))
 
     rng = np.random.default_rng(0)
