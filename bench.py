@@ -14,9 +14,11 @@ Runs on the default JAX backend (the real TPU chip under the driver).
 Extra diagnostics go to stderr; stdout carries only the JSON line.
 
 Default mode is "mxu" (dense per-key int8 operators on the systolic
-array + elastic attempt scheduler): measured 105.3k signs/sec vs 46.0k
+array + elastic attempt scheduler): measured ~131k signs/sec vs ~46k
 for the generic-NTT "stream" mode and ~34k for lockstep "batch" mode on
 the same chip/batch (2026-08-17, v5e-1, batch 16384, window 4096).
+Default 20 timed iterations: at 5 iterations the queue-drain warmup and
+tunnel dispatch jitter under-report throughput by ~20%.
 """
 
 import json
@@ -62,7 +64,7 @@ def main():
     p = params.get_params(3)
 
     batch = int(os.environ.get("DILITHIUM_BENCH_BATCH", "16384"))
-    iters = int(os.environ.get("DILITHIUM_BENCH_ITERS", "5"))
+    iters = int(os.environ.get("DILITHIUM_BENCH_ITERS", "20"))
     mode = os.environ.get("DILITHIUM_BENCH_MODE", "mxu")
     window = int(os.environ.get("DILITHIUM_BENCH_WINDOW", "4096"))
 

@@ -345,11 +345,19 @@ def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
     attempt_fn(mu_s uint8 [W,64], rp_s uint8 [W,64], kappa_s uint32 [W])
     -> (c_tilde, z, h, accept) per slot.
 
-    Measured dead end (do not retry): carrying only the winning kappa in
-    the loop and re-deriving committed signatures in one batched post-pass
-    (to avoid scattering the ~9 KB z/h/c_tilde payloads every round) is
-    ~12% SLOWER end to end (40.7k vs 46.0k signs/sec, stream mode, batch
-    16k) — the extra Q-wide attempt costs more than the scatters save.
+    Measured dead ends (do not retry; v5e-1, batch 16k, window 4096):
+    * Carrying only the winning kappa in the loop and re-deriving committed
+      signatures in one batched post-pass (to avoid scattering the ~9 KB
+      z/h/c_tilde payloads every round): ~12% SLOWER (40.7k vs 46.0k
+      signs/sec, stream mode) — the extra Q-wide attempt costs more than
+      the scatters save.
+    * Unconditional sorted+unique payload scatter (tgt=qidx every round,
+      garbage rows overwritten at commit) + argsort-based survivor
+      compaction: wins ~0.3 ms/round with a dummy attempt body, but is
+      ~4% slower end to end in the real MXU graph (124.9k vs 131.3k
+      signs/sec median) — writing W rows of z/h per round instead of only
+      the ~W/5 committed ones adds more HBM traffic than the cheaper
+      scatter lowering saves.
     """
     Q = mu.shape[0]
     BIG = jnp.int32(1 << 20)
