@@ -105,9 +105,19 @@ class Signer:
     (`tb_sign_top.v:171-283`); a memory-rich TPU keeps the NTT-domain
     expansions resident (SURVEY.md §5 checkpoint/resume: "persisted
     expanded keys (Â cache) as an optimization toggle").
+
+    mode:
+      "mxu"    — dense per-key int8 operators on the systolic array +
+                 elastic stream scheduler (`mxu.sign_stream_mxu`): fastest
+                 (~131k Dilithium-3 signs/sec on v5e-1 at batch 16k), but
+                 each distinct batch length compiles its own stream graph.
+      "batch"  — lockstep `scheme.sign_expanded`: portable and
+                 compile-cheap; right for CPU and small/ragged batches.
+      "auto"   — "mxu" on TPU, "batch" otherwise.
     """
 
-    def __init__(self, level: int, sk: Bytes):
+    def __init__(self, level: int, sk: Bytes, mode: str = "auto",
+                 window: int = 1024):
         self.p = get_params(level)
         self.level = level
         sk_b = bytes(sk)
@@ -115,15 +125,33 @@ class Signer:
             raise ValueError(f"sk has {len(sk_b)} bytes, expected {self.p.sk_bytes}")
         self.sk = jnp.asarray(np.frombuffer(sk_b, dtype=np.uint8))
         self.tr = sk_b[2 * SEEDBYTES: 2 * SEEDBYTES + TRBYTES]
-        # expand once; every sign() call reuses the NTT-domain key material
-        self.expanded = scheme.expand_sk(self.sk, self.p)
-        jax.block_until_ready(self.expanded)
+        if mode == "auto":
+            mode = "mxu" if jax.default_backend() == "tpu" else "batch"
+        if mode not in ("mxu", "batch"):
+            raise ValueError(f"unknown Signer mode {mode!r}")
+        self.mode = mode
+        self.window = window
+        if mode == "mxu":
+            from dilithium_tpu import mxu as _mxu
+            self._mxu = _mxu
+            # dense operators once per key; every sign() reuses them
+            self.operators = _mxu.build_operators(self.sk, self.p)
+            jax.block_until_ready(self.operators)
+        else:
+            # expand once; every sign() reuses the NTT-domain key material
+            self.expanded = scheme.expand_sk(self.sk, self.p)
+            jax.block_until_ready(self.expanded)
 
     def sign(self, messages: Sequence[Bytes]) -> list:
         mus = np.stack(
             [np.frombuffer(compute_mu(self.tr, m), dtype=np.uint8) for m in messages]
         )
-        res = scheme.sign_expanded(self.expanded, jnp.asarray(mus), self.p)
+        if self.mode == "mxu":
+            res = self._mxu.sign_stream_mxu(
+                self.operators, jnp.asarray(mus), self.p, window=self.window
+            )
+        else:
+            res = scheme.sign_expanded(self.expanded, jnp.asarray(mus), self.p)
         if not bool(np.asarray(res.ok).all()):
             raise RuntimeError("sign did not converge within max_rounds")
         return [bytes(r) for r in np.asarray(res.sig)]

@@ -85,6 +85,52 @@ def sharded_sign(
     return jax.jit(run)
 
 
+def sharded_sign_stream(
+    mesh: Mesh,
+    p: DilithiumParams,
+    window: int = 1024,
+    max_rounds: int = 8192,
+    use_mxu: bool = True,
+):
+    """One-key signing service over the mesh — the flagship serving path.
+
+    The key's expansion is replicated (KeyOperators if use_mxu, else
+    ExpandedKey); the message queue mu uint8 [Q, 64] is sharded on axis 0
+    and each chip runs the elastic stream signer (`scheme.sign_stream` /
+    `mxu.sign_stream_mxu`) on its local shard. Zero cross-chip traffic in
+    the rejection loop — per-message kappa schedules make results
+    bit-identical regardless of which chip signs which message — so
+    scaling is linear up to queue granularity; `psum` totals are the only
+    collective (SURVEY.md §2.7).
+
+    Returns a jitted fn(key_material, mu) -> ShardedSignResult.
+    """
+    if use_mxu:
+        from dilithium_tpu import mxu as _mxu
+
+    def sg(km, mu):
+        if use_mxu:
+            res = _mxu.sign_stream_mxu(km, mu, p, window=window,
+                                       max_rounds=max_rounds)
+        else:
+            res = scheme.sign_stream(km, mu, p, window=window,
+                                     max_rounds=max_rounds)
+        signed = jax.lax.psum(jnp.sum(res.ok.astype(jnp.int32)), BATCH_AXIS)
+        att = jax.lax.psum(jnp.sum(res.attempts), BATCH_AXIS)
+        return res.sig, res.attempts, res.ok, signed, att
+
+    mapped = shard_map(
+        sg, mesh=mesh,
+        in_specs=(P(), P(BATCH_AXIS, None)),
+        out_specs=(P(BATCH_AXIS, None), P(BATCH_AXIS), P(BATCH_AXIS), P(), P()),
+    )
+
+    def run(km, mu) -> ShardedSignResult:
+        return ShardedSignResult(*mapped(km, mu))
+
+    return jax.jit(run)
+
+
 def sharded_verify(mesh: Mesh, p: DilithiumParams, replicate_key: bool = False):
     """Batched verify over the mesh. Returns (ok [B], total_ok scalar)."""
 

@@ -57,3 +57,14 @@ def test_wrong_length_signature_rejects(kat2):
     k = kat2
     pks, sks = api.keygen(LEVEL, k["z"][:1])
     assert api.verify(LEVEL, pks[0], [(b"m", b"tiny")]) == [False]
+
+
+def test_signer_mxu_mode_matches_batch(kat2):
+    """Signer(mode="mxu") (dense-operator stream path) must emit the same
+    signature bytes as the lockstep "batch" mode on any backend."""
+    k = kat2
+    _, sks = api.keygen(LEVEL, k["z"][:1])
+    msgs = [k["m"][0], b"another message", b""]
+    ref = api.Signer(LEVEL, sks[0], mode="batch").sign(msgs)
+    got = api.Signer(LEVEL, sks[0], mode="mxu", window=2).sign(msgs)
+    assert got == ref

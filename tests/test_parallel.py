@@ -78,3 +78,33 @@ def test_sharding_layout(mesh, data):
     res = sharded_sign(mesh, p, attempts_per_round=2, max_rounds=64)(sk, mu)
     assert len(res.sig.sharding.device_set) == 8
     assert res.total_signed.sharding.is_fully_replicated
+
+
+def test_sharded_sign_stream_matches_single_chip(mesh, data):
+    """One replicated key, queue sharded over 8 devices; both stream
+    backends (generic NTT and MXU dense operators) must produce the same
+    bytes as the single-chip lockstep signer."""
+    from dilithium_tpu import mxu
+    from dilithium_tpu.parallel import sharded_sign_stream
+
+    p = params.get_params(LEVEL)
+    seed, mu = data
+    kp = scheme.keygen(seed[0], p)
+    ref = scheme.sign(
+        jnp.broadcast_to(kp.sk, (8,) + kp.sk.shape), mu, p,
+        attempts_per_round=2, max_rounds=64,
+    )
+
+    ek = scheme.expand_sk(kp.sk, p)
+    res = sharded_sign_stream(mesh, p, window=1, max_rounds=512,
+                              use_mxu=False)(ek, mu)
+    assert np.asarray(res.ok).all()
+    np.testing.assert_array_equal(np.asarray(res.sig), np.asarray(ref.sig))
+    assert int(res.total_signed) == 8
+    assert int(res.total_attempts) == int(np.asarray(ref.attempts).sum())
+
+    ops = mxu.build_operators(kp.sk, p)
+    res2 = sharded_sign_stream(mesh, p, window=1, max_rounds=512,
+                               use_mxu=True)(ops, mu)
+    assert np.asarray(res2.ok).all()
+    np.testing.assert_array_equal(np.asarray(res2.sig), np.asarray(ref.sig))
