@@ -61,7 +61,8 @@ def main():
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
-    p = params.get_params(3)
+    level = int(os.environ.get("DILITHIUM_BENCH_LEVEL", "3"))
+    p = params.get_params(level)
 
     batch = int(os.environ.get("DILITHIUM_BENCH_BATCH", "16384"))
     iters = int(os.environ.get("DILITHIUM_BENCH_ITERS", "20"))
@@ -129,7 +130,7 @@ def main():
     log(f"{iters} iters x {batch} signs in {elapsed:.2f}s")
 
     print(json.dumps({
-        "metric": "dilithium3_sign_throughput",
+        "metric": f"dilithium{level}_sign_throughput",
         "value": round(value, 1),
         "unit": "signs/sec",
         "vs_baseline": round(value / BASELINE_SIGNS_PER_SEC, 3),

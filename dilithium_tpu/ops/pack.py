@@ -198,19 +198,23 @@ def pack_hints(h: jnp.ndarray, p: DilithiumParams) -> jnp.ndarray:
     then byte omega+k = cumulative count through poly k. Assumes total
     weight <= omega (the sign loop rejects otherwise).
 
-    The required output order IS ascending global bit position, so the
-    compaction is a top_k: score non-hints below all hints, hints by
-    descending global position; top_k's descending scores then read out as
-    the first-omega hint positions in ascending order (no scatter — TPU
-    scatters cost more than a whole sign attempt).
+    The required output order IS ascending global bit position, so slot s
+    holds the position whose cumulative-rank equals s: a one-hot
+    compare-and-reduce over the bit axis (rank[..., b] == s) & hint —
+    pure VPU broadcast/reduce that XLA fuses without materializing.
+    Measured at [16384, 1536] on v5e: 5.8 ms vs 11.3 ms for the previous
+    top_k full-sort form, 8.0 ms for an exact two-stage top_k, and 121 ms
+    for a cumsum rank + vmapped scatter (TPU scatter with n_cand updates
+    per row is pathological).
     """
     K = p.K
     batch = h.shape[:-2]
     hf = h.reshape(batch + (K * N,)).astype(_I32)
-    gpos = jnp.arange(K * N, dtype=_I32)
-    score = jnp.where(hf == 1, (2 * K * N) - gpos, hf - 1)  # non-hints -> -1
-    top, _ = jax.lax.top_k(score, p.omega)  # descending
-    pos = jnp.where(top > 0, ((2 * K * N) - top) % N, 0)  # pos within poly
+    rank = jnp.cumsum(hf, axis=-1) - hf            # [..., K*N]
+    slotids = jnp.arange(p.omega, dtype=_I32)      # [omega]
+    sel = (rank[..., None, :] == slotids[:, None]) & (hf[..., None, :] == 1)
+    gpos = jnp.arange(K * N, dtype=_I32) % N       # position within poly
+    pos = jnp.sum(jnp.where(sel, gpos, 0), axis=-1)  # [..., omega]
     # cumulative counts per poly
     counts = jnp.cumsum(jnp.sum(h.astype(_U32), axis=-1), axis=-1)  # [..., K]
     return jnp.concatenate(
