@@ -90,10 +90,12 @@ def main():
     f = jax.jit(lambda c: sampling.sample_in_ball(c, p))
     report("sample_in_ball", timeit(f, ct), B)
 
-    # expand_a: B lanes (the keygen bottleneck per the RTL)
-    rho = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
+    # expand_a: per-key op — cap its batch (XLA materializes ~30 candidate
+    # buffers; B=16k would need >HBM), report per-unit rate
+    Ba = min(B, 2048)
+    rho = jnp.asarray(rng.integers(0, 256, (Ba, 32), dtype=np.uint8))
     f = jax.jit(lambda r: sampling.expand_a(r, p))
-    report("expand_a", timeit(f, rho, iters=3), B)
+    report("expand_a", timeit(f, rho, iters=3), Ba)
 
     # decompose + hints: [B, K, 256]
     w = jnp.asarray(rng.integers(0, params.Q, (B, p.K, 256), dtype=np.int64).astype(np.uint32))
@@ -105,11 +107,16 @@ def main():
     f = jax.jit(lambda z: pack.pack_z(z, p))
     report("pack_z", timeit(f, z), B)
 
-    # full single attempt (the while_loop body dominator)
-    seed = jnp.asarray(rng.integers(0, 256, (B, 32), dtype=np.uint8))
-    kp = scheme.keygen(seed, p)
+    # full single attempt (the while_loop body dominator) — one key
+    # broadcast to B lanes (keygen at B=16k OOMs in ExpandA's candidate
+    # buffers; the attempt cost is key-count independent)
+    seed = jnp.asarray(rng.integers(0, 256, (Ba, 32), dtype=np.uint8))
+    kp = scheme.keygen(seed[:1], p)
     ek = scheme.expand_sk(kp.sk, p)
     mu = jnp.asarray(rng.integers(0, 256, (B, 64), dtype=np.uint8))
+
+    def bcast(x):
+        return jnp.broadcast_to(x[0], (B,) + x.shape[1:])
 
     def one_attempt(a_hat, s1h, s2h, t0h, mu_, rp_, kap_):
         return scheme._sign_attempt(a_hat, s1h, s2h, t0h, mu_, rp_, kap_, p)
@@ -117,9 +124,31 @@ def main():
     f = jax.jit(one_attempt)
     report(
         "sign_attempt",
-        timeit(f, ek.a_hat, ek.s1_hat, ek.s2_hat, ek.t0_hat, mu, rp, kap),
+        timeit(f, bcast(ek.a_hat), bcast(ek.s1_hat), bcast(ek.s2_hat),
+               bcast(ek.t0_hat), mu, rp, kap),
         B,
     )
+
+    # dense-operator attempt (the MXU signer's while-body dominator)
+    from dilithium_tpu import mxu
+    ops_ = mxu.build_operators(kp.sk[0], p)
+    f = jax.jit(lambda m, r, k: mxu._sign_attempt_mxu(ops_, m, r, k, p))
+    report("sign_attempt_mxu", timeit(f, mu, rp, kap), B)
+
+    # keygen: independent keypairs (per-key cost incl. ExpandA)
+    f = jax.jit(lambda s: scheme.keygen(s, p).sk)
+    report("keygen", timeit(f, seed, iters=3), Ba)
+
+    # verify: one key, B signatures (service shape) — expanded-key paths
+    # (scheme.verify would re-run ExpandA per LANE on a broadcast pk)
+    res = scheme.sign(kp.sk, mu[:1], p)
+    sig_b = jnp.broadcast_to(res.sig[0], (B,) + res.sig.shape[1:])
+    epk = scheme.expand_pk(kp.pk[0], p)
+    f = jax.jit(lambda e, s_, m_: scheme.verify_expanded(e, s_, m_, p))
+    report("verify_expanded", timeit(f, epk, sig_b, mu), B)
+    vops = mxu.build_verify_operators(kp.pk[0], p)
+    f = jax.jit(lambda v, s_, m_: mxu.verify_mxu(v, s_, m_, p))
+    report("verify_mxu", timeit(f, vops, sig_b, mu), B)
 
     print(json.dumps({k: round(v["per_unit_us"], 2) for k, v in results.items()}))
 

@@ -76,25 +76,35 @@ def sign(level: int, sk: Bytes, messages: Sequence[Bytes]) -> list:
     return [bytes(r) for r in np.asarray(res.sig)]
 
 
-def verify(level: int, pk: Bytes, message_sig_pairs: Sequence[Tuple[Bytes, Bytes]]) -> list:
-    """Verify a batch of (message, signature) pairs under one public key."""
-    p = get_params(level)
-    pk_b = bytes(pk)
-    if len(pk_b) != p.pk_bytes:
-        raise ValueError(f"pk has {len(pk_b)} bytes, expected {p.pk_bytes}")
-    tr = hashlib.shake_256(pk_b).digest(TRBYTES)
+def _coerce_pairs(p: DilithiumParams, tr: bytes, message_sig_pairs) -> Tuple[np.ndarray, np.ndarray]:
     mus, sigs = [], []
     for m, s in message_sig_pairs:
         mus.append(np.frombuffer(compute_mu(tr, m), dtype=np.uint8))
         s = bytes(s)
         if len(s) != p.sig_bytes:
-            # malformed length: definitionally invalid, mark via all-zero sig
+            # malformed length: definitionally invalid, mark via junk sig
             s = b"\x01" * p.sig_bytes
         sigs.append(np.frombuffer(s, dtype=np.uint8))
-    pk_arr = jnp.broadcast_to(
-        jnp.asarray(np.frombuffer(pk_b, dtype=np.uint8)), (len(mus), p.pk_bytes)
+    return np.stack(mus), np.stack(sigs)
+
+
+def verify(level: int, pk: Bytes, message_sig_pairs: Sequence[Tuple[Bytes, Bytes]]) -> list:
+    """Verify a batch of (message, signature) pairs under one public key.
+
+    Expands the key once (`scheme.expand_pk`) and verifies the batch
+    against it; for a persistent service caching the expansion across
+    calls, use `Verifier`.
+    """
+    p = get_params(level)
+    pk_b = bytes(pk)
+    if len(pk_b) != p.pk_bytes:
+        raise ValueError(f"pk has {len(pk_b)} bytes, expected {p.pk_bytes}")
+    tr = hashlib.shake_256(pk_b).digest(TRBYTES)
+    mus, sigs = _coerce_pairs(p, tr, message_sig_pairs)
+    epk = scheme.expand_pk(
+        jnp.asarray(np.frombuffer(pk_b, dtype=np.uint8)), p
     )
-    ok = scheme.verify(pk_arr, jnp.asarray(np.stack(sigs)), jnp.asarray(np.stack(mus)), p)
+    ok = scheme.verify_expanded(epk, jnp.asarray(sigs), jnp.asarray(mus), p)
     return [bool(x) for x in np.asarray(ok)]
 
 
@@ -155,3 +165,53 @@ class Signer:
         if not bool(np.asarray(res.ok).all()):
             raise RuntimeError("sign did not converge within max_rounds")
         return [bytes(r) for r in np.asarray(res.sig)]
+
+
+class Verifier:
+    """Persistent verify service for one public key.
+
+    The FPGA re-streams the pk and re-expands Â on every verify call
+    (VY_LOAD_RHO, `combined_top.v:1100-1206`); here the per-key expansion
+    is computed once and every `verify()` call reuses it.
+
+    mode:
+      "mxu"    — dense z->Az / c->c.t1 int8 operators on the systolic
+                 array (`mxu.verify_mxu`).
+      "batch"  — NTT-pipeline `scheme.verify_expanded`: portable and
+                 compile-cheap.
+      "auto"   — "mxu" on TPU, "batch" otherwise.
+    """
+
+    def __init__(self, level: int, pk: Bytes, mode: str = "auto"):
+        self.p = get_params(level)
+        self.level = level
+        pk_b = bytes(pk)
+        if len(pk_b) != self.p.pk_bytes:
+            raise ValueError(f"pk has {len(pk_b)} bytes, expected {self.p.pk_bytes}")
+        self.pk = jnp.asarray(np.frombuffer(pk_b, dtype=np.uint8))
+        self.tr = hashlib.shake_256(pk_b).digest(TRBYTES)
+        if mode == "auto":
+            mode = "mxu" if jax.default_backend() == "tpu" else "batch"
+        if mode not in ("mxu", "batch"):
+            raise ValueError(f"unknown Verifier mode {mode!r}")
+        self.mode = mode
+        if mode == "mxu":
+            from dilithium_tpu import mxu as _mxu
+            self._mxu = _mxu
+            self.operators = _mxu.build_verify_operators(self.pk, self.p)
+            jax.block_until_ready(self.operators)
+        else:
+            self.expanded = scheme.expand_pk(self.pk, self.p)
+            jax.block_until_ready(self.expanded)
+
+    def verify(self, message_sig_pairs: Sequence[Tuple[Bytes, Bytes]]) -> list:
+        mus, sigs = _coerce_pairs(self.p, self.tr, message_sig_pairs)
+        if self.mode == "mxu":
+            ok = self._mxu.verify_mxu(
+                self.operators, jnp.asarray(sigs), jnp.asarray(mus), self.p
+            )
+        else:
+            ok = scheme.verify_expanded(
+                self.expanded, jnp.asarray(sigs), jnp.asarray(mus), self.p
+            )
+        return [bool(x) for x in np.asarray(ok)]

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dilithium_tpu.params import Q, N, CRHBYTES, DilithiumParams
+from dilithium_tpu.params import Q, N, D, CRHBYTES, TRBYTES, DilithiumParams
 from dilithium_tpu import scheme
 from dilithium_tpu.ops import keccak, ntt, pack, rounding, sampling
 from dilithium_tpu.ops.reduce import (
@@ -90,17 +90,15 @@ def _conv_matrix(s_centered: jnp.ndarray) -> jnp.ndarray:
     return sgn * jnp.take(s_centered, idx, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("p",))
-def build_operators(sk: jnp.ndarray, p: DilithiumParams) -> KeyOperators:
-    """Expand one UNBATCHED sk into dense MXU operators."""
-    rho, key, tr, s1, s2, t0 = pack.unpack_sk(sk, p)
-    a_hat, _ = sampling.expand_a(rho, p)
-    L, K = p.L, p.K
+def _wy_limbs_from_ahat(a_hat: jnp.ndarray, p: DilithiumParams) -> jnp.ndarray:
+    """A_hat [K, L, 256] -> the dense y->w (= z->Az) map as int8 limbs.
 
-    # composite y -> w map: w[k] = sum_l y[l] * A[k,l] mod (X^N+1), so the
-    # [L*N, K*N] matrix is the KxL grid of negacyclic convolution matrices
-    # of the PLAIN matrix polynomials A[k,l] = INTT(A_hat[k,l]) — no basis
-    # push through the NTT pipeline needed
+    w[k] = sum_l y[l] * A[k,l] mod (X^N+1), so the [L*N, K*N] matrix is the
+    KxL grid of negacyclic convolution matrices of the PLAIN matrix
+    polynomials A[k,l] = INTT(A_hat[k,l]) — no basis push through the NTT
+    pipeline needed. Shared by the signer (y -> w) and verifier (z -> Az).
+    """
+    K, L = p.K, p.L
     a_poly = center(ntt.invntt(a_hat, from_product=False))  # [K, L, N] int32
     w_mat = jnp.concatenate(
         [
@@ -111,8 +109,17 @@ def build_operators(sk: jnp.ndarray, p: DilithiumParams) -> KeyOperators:
         ],
         axis=0,
     )  # [L*N, K*N] centered int32
-    limbs = _to_limbs_i8(w_mat)
-    wy_limbs = jnp.stack(limbs)  # [3, L*N, K*N]
+    return jnp.stack(_to_limbs_i8(w_mat))  # [3, L*N, K*N]
+
+
+@partial(jax.jit, static_argnames=("p",))
+def build_operators(sk: jnp.ndarray, p: DilithiumParams) -> KeyOperators:
+    """Expand one UNBATCHED sk into dense MXU operators."""
+    rho, key, tr, s1, s2, t0 = pack.unpack_sk(sk, p)
+    a_hat, _ = sampling.expand_a(rho, p)
+    L, K = p.L, p.K
+
+    wy_limbs = _wy_limbs_from_ahat(a_hat, p)
 
     s1_mat = jnp.concatenate(
         [_conv_matrix(center(s1[l])) for l in range(L)], axis=-1
@@ -260,3 +267,70 @@ def sign_stream_mxu(
         return _sign_attempt_mxu(ops, mu_s, rp_s, kappa_s, p)
 
     return scheme._stream_loop(attempt, mu, rhoprime, p, W, max_rounds)
+
+
+# ---------------------------------------------------------------------------
+# Dense-operator VERIFY: w' = A.z - c.(t1 * 2^d) is linear in (z, c) for a
+# fixed public key, so the whole VY_MULT_AZ/VY_MULT_CT1/VY_SUB_AZ_CT1/VY_INTT
+# chain (`combined_top.v:1346-1469`) collapses to int8 matmuls against the
+# SAME z->Az matrix the signer uses for y->w, plus 3 tiny c @ T1-limb
+# products (c has entries {0, +-1}).
+# ---------------------------------------------------------------------------
+
+
+class VerifyOperators(NamedTuple):
+    """Dense per-public-key verify operators."""
+    wz_limbs: jnp.ndarray  # int8 [3, L*256, K*256] — z -> Az map limbs
+    t1_limbs: jnp.ndarray  # int8 [3, 256, K*256] — c -> c.(t1<<d) conv limbs
+    tr: jnp.ndarray        # uint8 [32] (mu = CRH(tr || M) precursor)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def build_verify_operators(pk: jnp.ndarray, p: DilithiumParams) -> VerifyOperators:
+    """Expand one UNBATCHED pk into dense MXU verify operators."""
+    rho, t1 = pack.unpack_pk(pk, p)
+    a_hat, _ = sampling.expand_a(rho, p)
+    wz_limbs = _wy_limbs_from_ahat(a_hat, p)
+
+    # t1 << d <= q-1 stays canonical; conv matrix of the CENTERED values,
+    # then balanced base-256 limbs (limbs AFTER the negacyclic sign flip,
+    # as for W — a flipped -128 digit would overflow int8 the other way)
+    t1s = center((t1.astype(_U32) << D))  # [K, N] int32, |.| <= q/2
+    t1_mat = jnp.concatenate(
+        [_conv_matrix(t1s[k]) for k in range(p.K)], axis=-1
+    )  # [N, K*N] int32
+    t1_limbs = jnp.stack(_to_limbs_i8(t1_mat))  # [3, N, K*N]
+
+    tr = keccak.shake256(pk, TRBYTES)
+    return VerifyOperators(wz_limbs, t1_limbs, tr)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def verify_mxu(
+    vops: VerifyOperators, sig: jnp.ndarray, mu: jnp.ndarray, p: DilithiumParams
+) -> jnp.ndarray:
+    """Verify a batch of signatures under ONE key's dense operators.
+
+    sig uint8 [B, sig_bytes], mu uint8 [B, 64] -> bool [B]. Bit-identical
+    accept/reject to `scheme.verify` (pinned by tests/test_mxu.py).
+    """
+    B = mu.shape[0]
+    K, L = p.K, p.L
+    c_tilde, z, h, h_ok = pack.unpack_sig(sig, p)
+    z_ok = ~rounding.norm_exceeds(z, p.gamma1 - p.beta, axis=(-2, -1))
+
+    c, _ = sampling.sample_in_ball(c_tilde, p)
+    c_i8 = center(c).astype(_I8)  # {0, +-1}
+
+    az = _apply_wy(z.reshape(B, L * N), vops.wz_limbs, p)  # [B, K*N] canonical
+
+    # ct1 = sum_j 2^(8j) (c @ T1_j): |c @ T1_j| <= tau*128 <= 7680, so the
+    # Horner-free direct sum fits int32 (|.| <= ~5.05e8) and _mod_q_i32's
+    # domain
+    p0 = _dot_i8(c_i8, vops.t1_limbs[0])
+    p1 = _dot_i8(c_i8, vops.t1_limbs[1])
+    p2 = _dot_i8(c_i8, vops.t1_limbs[2])
+    ct1 = _mod_q_i32(p0 + (p1 << 8) + (p2 << 16))  # [B, K*N] canonical
+
+    w = sub_mod(az, ct1).reshape(B, K, N)
+    return scheme._verify_tail(w, h, c_tilde, mu, z_ok & h_ok, p)

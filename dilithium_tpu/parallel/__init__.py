@@ -3,11 +3,11 @@
 from dilithium_tpu.parallel.mesh import make_mesh, local_batch_to_global
 from dilithium_tpu.parallel.service import (
     sharded_keygen, sharded_sign, sharded_sign_stream, sharded_verify,
-    throughput_counters,
+    sharded_verify_stream, throughput_counters,
 )
 
 __all__ = [
     "make_mesh", "local_batch_to_global",
     "sharded_keygen", "sharded_sign", "sharded_sign_stream", "sharded_verify",
-    "throughput_counters",
+    "sharded_verify_stream", "throughput_counters",
 ]

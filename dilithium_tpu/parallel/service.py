@@ -136,8 +136,11 @@ def sharded_verify(mesh: Mesh, p: DilithiumParams, replicate_key: bool = False):
 
     def vy(pk, sig, mu):
         if replicate_key:
-            pk = jnp.broadcast_to(pk, mu.shape[:1] + pk.shape)
-        ok = scheme.verify(pk, sig, mu, p)
+            # one key: expand once per shard, not once per lane
+            epk = scheme.expand_pk(pk, p)
+            ok = scheme.verify_expanded(epk, sig, mu, p)
+        else:
+            ok = scheme.verify(pk, sig, mu, p)
         total = jax.lax.psum(jnp.sum(ok.astype(jnp.int32)), BATCH_AXIS)
         return ok, total
 
@@ -148,6 +151,35 @@ def sharded_verify(mesh: Mesh, p: DilithiumParams, replicate_key: bool = False):
     )
     mapped = shard_map(
         vy, mesh=mesh, in_specs=in_specs, out_specs=(P(BATCH_AXIS), P()),
+    )
+    return jax.jit(mapped)
+
+
+def sharded_verify_stream(mesh: Mesh, p: DilithiumParams, use_mxu: bool = True):
+    """One-key verify service over the mesh — the verify serving path.
+
+    The per-key expansion is replicated (VerifyOperators if use_mxu, else
+    ExpandedPk) and computed ONCE by the caller (`mxu.build_verify_operators`
+    / `scheme.expand_pk`); sig [B, sig_bytes] and mu [B, 64] are sharded on
+    axis 0. Zero cross-chip traffic except the psum total.
+
+    Returns a jitted fn(key_material, sig, mu) -> (ok [B], total scalar).
+    """
+    if use_mxu:
+        from dilithium_tpu import mxu as _mxu
+
+    def vy(km, sig, mu):
+        if use_mxu:
+            ok = _mxu.verify_mxu(km, sig, mu, p)
+        else:
+            ok = scheme.verify_expanded(km, sig, mu, p)
+        total = jax.lax.psum(jnp.sum(ok.astype(jnp.int32)), BATCH_AXIS)
+        return ok, total
+
+    mapped = shard_map(
+        vy, mesh=mesh,
+        in_specs=(P(), P(BATCH_AXIS, None), P(BATCH_AXIS, None)),
+        out_specs=(P(BATCH_AXIS), P()),
     )
     return jax.jit(mapped)
 

@@ -445,6 +445,38 @@ def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
     return SignResult(sig_out, att_out, ok)
 
 
+def _verify_tail(w, h, c_tilde, mu, pre_ok, p: DilithiumParams) -> jnp.ndarray:
+    """Shared verify epilogue: w' -> UseHint -> H(mu || w1') compare.
+
+    w: uint32 [..., K, 256] canonical (= INTT(A_hat·z_hat - c_hat·t1_hat),
+    however computed — NTT pipeline or dense MXU operators). Mirrors the
+    VY_GENW1/VY_COMPARE states (`combined_top.v:1470-1534, 2450-2457`).
+    """
+    w1 = rounding.use_hint(h, w, p)
+    w1_packed = pack.pack_w1(w1, p).reshape(
+        w1.shape[:-2] + (p.K * p.polyw1_packedbytes,)
+    )
+    c_tilde2 = keccak.shake256(
+        jnp.concatenate([mu.astype(_U8), w1_packed], axis=-1), SEEDBYTES
+    )
+    return pre_ok & jnp.all(c_tilde == c_tilde2, axis=-1)
+
+
+def _verify_core(a_hat, t1_hat, sig, mu, p: DilithiumParams) -> jnp.ndarray:
+    """Verify against NTT-domain key material (already batch-shaped)."""
+    c_tilde, z, h, h_ok = pack.unpack_sig(sig, p)
+    z_ok = ~rounding.norm_exceeds(z, p.gamma1 - p.beta, axis=(-2, -1))
+
+    c, _ = sampling.sample_in_ball(c_tilde, p)
+    c_hat = ntt.ntt(c)
+    z_hat = ntt.ntt(z)
+
+    az = ntt.matvec(a_hat, z_hat)                       # carries R^-1
+    ct1 = ntt.pointwise(c_hat[..., None, :], t1_hat)    # carries R^-1
+    w = ntt.invntt(sub_mod(az, ct1), from_product=True)  # [..., K, 256]
+    return _verify_tail(w, h, c_tilde, mu, z_ok & h_ok, p)
+
+
 @partial(jax.jit, static_argnames=("p",))
 def verify(pk: jnp.ndarray, sig: jnp.ndarray, mu: jnp.ndarray, p: DilithiumParams) -> jnp.ndarray:
     """Dilithium verify. pk [..., pk_bytes], sig [..., sig_bytes], mu [..., 64].
@@ -453,28 +485,48 @@ def verify(pk: jnp.ndarray, sig: jnp.ndarray, mu: jnp.ndarray, p: DilithiumParam
     `combined_top.v:1100-1534`): w' = INTT(A_hat·NTT(z) - NTT(c)·NTT(t1·2^d));
     w1' = UseHint(h, w'); accept iff c_tilde == H(mu || w1') and encodings
     are canonical and ||z|| is in range.
+
+    Expands A per batch lane — right for independent keys. A one-key
+    verify service should use `expand_pk` + `verify_expanded` (or the MXU
+    path, `mxu.verify_mxu`) so ExpandA runs once, not once per lane.
     """
     rho, t1 = pack.unpack_pk(pk, p)
-    c_tilde, z, h, h_ok = pack.unpack_sig(sig, p)
-
-    z_ok = ~rounding.norm_exceeds(z, p.gamma1 - p.beta, axis=(-2, -1))
-
     a_hat, _ = sampling.expand_a(rho, p)
-    c, _ = sampling.sample_in_ball(c_tilde, p)
-    c_hat = ntt.ntt(c)
-    z_hat = ntt.ntt(z)
+    t1_hat = ntt.ntt(t1.astype(_U32) << D)  # t1*2^13 <= q-1: stays canonical
+    return _verify_core(a_hat, t1_hat, sig, mu, p)
 
-    t1_shift = t1.astype(_U32) << D  # t1*2^13 <= q-1: stays canonical
-    t1_hat = ntt.ntt(t1_shift)
 
-    az = ntt.matvec(a_hat, z_hat)                       # carries R^-1
-    ct1 = ntt.pointwise(c_hat[..., None, :], t1_hat)    # carries R^-1
-    w = ntt.invntt(sub_mod(az, ct1), from_product=True)  # [..., K, 256]
+class ExpandedPk(NamedTuple):
+    """NTT-domain public-key expansion, cacheable across verify calls.
 
-    w1 = rounding.use_hint(h, w, p)
-    w1_packed = pack.pack_w1(w1, p).reshape(w1.shape[:-2] + (p.K * p.polyw1_packedbytes,))
-    c_tilde2 = keccak.shake256(
-        jnp.concatenate([mu.astype(_U8), w1_packed], axis=-1), SEEDBYTES
-    )
-    hash_ok = jnp.all(c_tilde == c_tilde2, axis=-1)
-    return z_ok & h_ok & hash_ok
+    The verify analog of `ExpandedKey`: the FPGA re-expands Â from rho on
+    every verify invocation (VY_LOAD_RHO, `combined_top.v:1100-1206`); a
+    one-key TPU verify service computes it once.
+    """
+    a_hat: jnp.ndarray   # uint32 [..., K, L, 256]
+    t1_hat: jnp.ndarray  # uint32 [..., K, 256] = NTT(t1 << d)
+    tr: jnp.ndarray      # uint8 [..., 32] (mu = CRH(tr || M) precursor)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def expand_pk(pk: jnp.ndarray, p: DilithiumParams) -> ExpandedPk:
+    """Unpack pk and precompute all NTT-domain verification material."""
+    rho, t1 = pack.unpack_pk(pk, p)
+    a_hat, _ = sampling.expand_a(rho, p)
+    t1_hat = ntt.ntt(t1.astype(_U32) << D)
+    tr = keccak.shake256(pk, TRBYTES)
+    return ExpandedPk(a_hat=a_hat, t1_hat=t1_hat, tr=tr)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def verify_expanded(
+    epk: ExpandedPk, sig: jnp.ndarray, mu: jnp.ndarray, p: DilithiumParams
+) -> jnp.ndarray:
+    """Verify a batch of signatures under ONE precomputed ExpandedPk.
+
+    epk: unbatched. sig uint8 [..., sig_bytes], mu uint8 [..., 64].
+    """
+    batch = mu.shape[:-1]
+    a_hat = jnp.broadcast_to(epk.a_hat, batch + epk.a_hat.shape)
+    t1_hat = jnp.broadcast_to(epk.t1_hat, batch + epk.t1_hat.shape)
+    return _verify_core(a_hat, t1_hat, sig, mu, p)

@@ -59,6 +59,21 @@ def test_wrong_length_signature_rejects(kat2):
     assert api.verify(LEVEL, pks[0], [(b"m", b"tiny")]) == [False]
 
 
+def test_verifier_modes_match(kat2):
+    """Verifier (cached expansion, both modes) must agree with api.verify."""
+    k = kat2
+    pks, sks = api.keygen(LEVEL, k["z"][:1])
+    msgs = [k["m"][0], b"other", b""]
+    sigs = api.Signer(LEVEL, sks[0]).sign(msgs)
+    pairs = list(zip(msgs, sigs))
+    bad_pairs = [(m + b"!", s) for m, s in pairs]
+    for mode in ("batch", "mxu"):
+        v = api.Verifier(LEVEL, pks[0], mode=mode)
+        assert v.verify(pairs) == [True, True, True]
+        assert v.verify(bad_pairs) == [False, False, False]
+        assert v.verify([(b"m", b"tiny")]) == [False]
+
+
 def test_signer_mxu_mode_matches_batch(kat2):
     """Signer(mode="mxu") (dense-operator stream path) must emit the same
     signature bytes as the lockstep "batch" mode on any backend."""

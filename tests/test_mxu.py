@@ -77,3 +77,38 @@ def test_sign_stream_mxu_matches_generic(key_ctx):
     assert np.asarray(got.ok).all()
     np.testing.assert_array_equal(np.asarray(got.sig), np.asarray(ref.sig))
     np.testing.assert_array_equal(np.asarray(got.attempts), np.asarray(ref.attempts))
+
+
+def test_verify_mxu_matches_generic(key_ctx):
+    p, kp, ek, ops = key_ctx
+    mus = jnp.asarray(RNG.integers(0, 256, size=(6, 64), dtype=np.uint8))
+    res = mxu.sign_stream_mxu(ops, mus, p, window=4, max_rounds=512)
+    vops = mxu.build_verify_operators(kp.pk, p)
+
+    # valid signatures accept; a corrupted batch matches scheme.verify
+    sigs = np.asarray(res.sig)
+    bad = sigs.copy()
+    bad[0, 40] ^= 1            # flip a z byte
+    bad[1, 3] ^= 0x80          # flip a c_tilde bit
+    bad[2, -1] ^= 1            # corrupt hint section
+    for s in (sigs, bad):
+        pk_b = jnp.broadcast_to(kp.pk, (6,) + kp.pk.shape)
+        ref = np.asarray(scheme.verify(pk_b, jnp.asarray(s), mus, p))
+        got = np.asarray(mxu.verify_mxu(vops, jnp.asarray(s), mus, p))
+        np.testing.assert_array_equal(got, ref)
+    assert np.asarray(mxu.verify_mxu(vops, res.sig, mus, p)).all()
+
+
+def test_verify_expanded_matches_generic(key_ctx):
+    p, kp, ek, ops = key_ctx
+    mus = jnp.asarray(RNG.integers(0, 256, size=(4, 64), dtype=np.uint8))
+    res = mxu.sign_stream_mxu(ops, mus, p, window=4, max_rounds=512)
+    epk = scheme.expand_pk(kp.pk, p)
+    np.testing.assert_array_equal(np.asarray(epk.tr), np.asarray(kp.tr))
+    got = np.asarray(scheme.verify_expanded(epk, res.sig, mus, p))
+    assert got.all()
+    bad = np.asarray(res.sig).copy()
+    bad[:, 100] ^= 0xFF
+    assert not np.asarray(
+        scheme.verify_expanded(epk, jnp.asarray(bad), mus, p)
+    ).any()

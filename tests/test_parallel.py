@@ -108,3 +108,34 @@ def test_sharded_sign_stream_matches_single_chip(mesh, data):
                                use_mxu=True)(ops, mu)
     assert np.asarray(res2.ok).all()
     np.testing.assert_array_equal(np.asarray(res2.sig), np.asarray(ref.sig))
+
+
+def test_sharded_verify_stream(mesh, data):
+    """One-key verify service: both backends accept the batch, reject
+    corruption, and psum the right total."""
+    from dilithium_tpu import mxu
+    from dilithium_tpu.parallel import sharded_verify_stream
+
+    p = params.get_params(LEVEL)
+    seed, mu = data
+    kp = scheme.keygen(seed[0], p)
+    res = scheme.sign(
+        jnp.broadcast_to(kp.sk, (8,) + kp.sk.shape), mu, p,
+        attempts_per_round=2, max_rounds=64,
+    )
+    sh = NamedSharding(mesh, P("batch", None))
+    sig = jax.device_put(np.asarray(res.sig), sh)
+
+    epk = scheme.expand_pk(kp.pk, p)
+    ok, total = sharded_verify_stream(mesh, p, use_mxu=False)(epk, sig, mu)
+    assert np.asarray(ok).all() and int(total) == 8
+
+    vops = mxu.build_verify_operators(kp.pk, p)
+    ok2, total2 = sharded_verify_stream(mesh, p, use_mxu=True)(vops, sig, mu)
+    assert np.asarray(ok2).all() and int(total2) == 8
+
+    bad = np.asarray(res.sig).copy()
+    bad[:, 50] ^= 1
+    bad = jax.device_put(bad, sh)
+    ok3, total3 = sharded_verify_stream(mesh, p, use_mxu=True)(vops, bad, mu)
+    assert not np.asarray(ok3).any() and int(total3) == 0
