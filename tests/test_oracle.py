@@ -64,3 +64,21 @@ def test_scheme_matches_oracle_random_inputs(level):
     # cross: oracle verifies device signatures and vice versa (trivially the
     # same bytes, but guards against accidental layout divergence)
     assert oracle.verify(level, np.asarray(kp.pk), mus, np.asarray(res.sig)).all()
+
+
+def test_ntt2x2_model():
+    """2x2-NTT algorithmic model (cpp/ntt2x2.cpp): fused 2-stage passes,
+    div2-folded inverse, and the BRAM line-layout mapping chains — the
+    replay of the reference's own model-layer tests
+    (`ref_test_ntt_ntt2x2.cpp`, `ntt2x2_test.cpp`). Full-depth runs via
+    `make -C cpp test` (20k iterations, ~1 s)."""
+    import os
+    import subprocess
+
+    cpp = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "cpp")
+    subprocess.run(["make", "-s", "-C", cpp, "ntt2x2_test"], check=True)
+    out = subprocess.run(
+        [os.path.join(cpp, "ntt2x2_test"), "500"],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    assert "differential tests OK" in out
