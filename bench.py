@@ -115,6 +115,16 @@ def main():
         f"ok={int(np.asarray(ok).sum())}/{batch}, "
         f"mean_attempts={float(np.asarray(att).mean()):.2f}")
 
+    # optional profiler trace of one steady-state run (view with
+    # tensorboard / xprof; SURVEY.md §5 tracing obligation)
+    profile_dir = os.environ.get("DILITHIUM_BENCH_PROFILE")
+    if profile_dir:
+        mu_p = jnp.asarray(rng.integers(0, 256, size=(batch, 64), dtype=np.uint8))
+        with jax.profiler.trace(profile_dir):
+            sig, ok, att = run(mu_p)
+            sync(sig)
+        log(f"profiler trace written to {profile_dir}")
+
     # timed: fresh mu each iter so no caching of results is possible
     mus = [
         jnp.asarray(rng.integers(0, 256, size=(batch, 64), dtype=np.uint8))

@@ -46,6 +46,50 @@ def compute_mu(tr: Bytes, message: Bytes) -> bytes:
     return h.digest(CRHBYTES)
 
 
+# ---------------------------------------------------------------------------
+# Persisted key expansions — the checkpoint/resume analog (SURVEY.md §5):
+# the scheme itself is stateless, so the only state worth persisting is the
+# per-key expansion (NTT-domain key material or dense MXU operators). The
+# cache is validated against a digest of the key bytes, so a stale or
+# foreign file silently falls back to recomputation.
+# ---------------------------------------------------------------------------
+
+
+def _npz(path: str) -> str:
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def _save_expansion(path: str, obj, meta: dict) -> None:
+    arrs = {f: np.asarray(getattr(obj, f)) for f in type(obj)._fields}
+    meta_b = np.frombuffer(_json().dumps(meta).encode(), dtype=np.uint8)
+    np.savez(_npz(path), __meta__=meta_b, **arrs)
+
+
+def _load_expansion(path: str, cls, meta: dict):
+    """Returns cls(...) on a valid cache hit, else None."""
+    try:
+        z = np.load(_npz(path))
+        stored = _json().loads(bytes(z["__meta__"]).decode())
+        if stored != meta:
+            return None
+        return cls(**{f: jnp.asarray(z[f]) for f in cls._fields})
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def _json():
+    import json
+    return json
+
+
+def _expansion_meta(kind: str, level: int, key_bytes: bytes) -> dict:
+    return {
+        "kind": kind,
+        "level": level,
+        "key_sha256": hashlib.sha256(key_bytes).hexdigest(),
+    }
+
+
 def keygen(level: int, seeds: Sequence[Bytes]) -> Tuple[list, list]:
     """Batch keygen. seeds: 32-byte each. Returns (pks, sks) as bytes lists."""
     p = get_params(level)
@@ -124,10 +168,15 @@ class Signer:
       "batch"  — lockstep `scheme.sign_expanded`: portable and
                  compile-cheap; right for CPU and small/ragged batches.
       "auto"   — "mxu" on TPU, "batch" otherwise.
+
+    cache_path: optional .npz path persisting the per-key expansion across
+    processes (the checkpoint/resume analog, SURVEY.md §5). On a valid hit
+    (same key digest / level / mode) the expansion is loaded instead of
+    recomputed; otherwise it is computed and written.
     """
 
     def __init__(self, level: int, sk: Bytes, mode: str = "auto",
-                 window: int = 1024):
+                 window: int = 1024, cache_path: Optional[str] = None):
         self.p = get_params(level)
         self.level = level
         sk_b = bytes(sk)
@@ -144,13 +193,29 @@ class Signer:
         if mode == "mxu":
             from dilithium_tpu import mxu as _mxu
             self._mxu = _mxu
-            # dense operators once per key; every sign() reuses them
-            self.operators = _mxu.build_operators(self.sk, self.p)
-            jax.block_until_ready(self.operators)
+            meta = _expansion_meta("KeyOperators", level, sk_b)
+            self.operators = (
+                _load_expansion(cache_path, _mxu.KeyOperators, meta)
+                if cache_path else None
+            )
+            if self.operators is None:
+                # dense operators once per key; every sign() reuses them
+                self.operators = _mxu.build_operators(self.sk, self.p)
+                jax.block_until_ready(self.operators)
+                if cache_path:
+                    _save_expansion(cache_path, self.operators, meta)
         else:
-            # expand once; every sign() reuses the NTT-domain key material
-            self.expanded = scheme.expand_sk(self.sk, self.p)
-            jax.block_until_ready(self.expanded)
+            meta = _expansion_meta("ExpandedKey", level, sk_b)
+            self.expanded = (
+                _load_expansion(cache_path, scheme.ExpandedKey, meta)
+                if cache_path else None
+            )
+            if self.expanded is None:
+                # expand once; every sign() reuses the NTT-domain material
+                self.expanded = scheme.expand_sk(self.sk, self.p)
+                jax.block_until_ready(self.expanded)
+                if cache_path:
+                    _save_expansion(cache_path, self.expanded, meta)
 
     def sign(self, messages: Sequence[Bytes]) -> list:
         mus = np.stack(
@@ -180,9 +245,12 @@ class Verifier:
       "batch"  — NTT-pipeline `scheme.verify_expanded`: portable and
                  compile-cheap.
       "auto"   — "mxu" on TPU, "batch" otherwise.
+
+    cache_path: optional .npz persisting the expansion (see `Signer`).
     """
 
-    def __init__(self, level: int, pk: Bytes, mode: str = "auto"):
+    def __init__(self, level: int, pk: Bytes, mode: str = "auto",
+                 cache_path: Optional[str] = None):
         self.p = get_params(level)
         self.level = level
         pk_b = bytes(pk)
@@ -198,11 +266,27 @@ class Verifier:
         if mode == "mxu":
             from dilithium_tpu import mxu as _mxu
             self._mxu = _mxu
-            self.operators = _mxu.build_verify_operators(self.pk, self.p)
-            jax.block_until_ready(self.operators)
+            meta = _expansion_meta("VerifyOperators", level, pk_b)
+            self.operators = (
+                _load_expansion(cache_path, _mxu.VerifyOperators, meta)
+                if cache_path else None
+            )
+            if self.operators is None:
+                self.operators = _mxu.build_verify_operators(self.pk, self.p)
+                jax.block_until_ready(self.operators)
+                if cache_path:
+                    _save_expansion(cache_path, self.operators, meta)
         else:
-            self.expanded = scheme.expand_pk(self.pk, self.p)
-            jax.block_until_ready(self.expanded)
+            meta = _expansion_meta("ExpandedPk", level, pk_b)
+            self.expanded = (
+                _load_expansion(cache_path, scheme.ExpandedPk, meta)
+                if cache_path else None
+            )
+            if self.expanded is None:
+                self.expanded = scheme.expand_pk(self.pk, self.p)
+                jax.block_until_ready(self.expanded)
+                if cache_path:
+                    _save_expansion(cache_path, self.expanded, meta)
 
     def verify(self, message_sig_pairs: Sequence[Tuple[Bytes, Bytes]]) -> list:
         mus, sigs = _coerce_pairs(self.p, self.tr, message_sig_pairs)

@@ -74,6 +74,33 @@ def test_verifier_modes_match(kat2):
         assert v.verify([(b"m", b"tiny")]) == [False]
 
 
+def test_expansion_cache_roundtrip(kat2, tmp_path):
+    """Persisted key expansions (the checkpoint analog): a Signer/Verifier
+    restarted from the cache file emits identical results; a cache written
+    for a DIFFERENT key is ignored (digest mismatch -> recompute)."""
+    k = kat2
+    pks, sks = api.keygen(LEVEL, k["z"][:2])
+    msgs = [b"alpha", b"beta"]
+    for mode in ("batch", "mxu"):
+        spath = str(tmp_path / f"sk_{mode}.npz")
+        s1 = api.Signer(LEVEL, sks[0], mode=mode, cache_path=spath)
+        sigs = s1.sign(msgs)
+        assert (tmp_path / f"sk_{mode}.npz").exists()
+        s2 = api.Signer(LEVEL, sks[0], mode=mode, cache_path=spath)
+        assert s2.sign(msgs) == sigs
+        # other key, same path: must NOT reuse the stale expansion
+        s3 = api.Signer(LEVEL, sks[1], mode=mode, cache_path=spath)
+        assert s3.sign(msgs) != sigs
+
+        vpath = str(tmp_path / f"pk_{mode}.npz")
+        v1 = api.Verifier(LEVEL, pks[0], mode=mode, cache_path=vpath)
+        assert v1.verify(list(zip(msgs, sigs))) == [True, True]
+        v2 = api.Verifier(LEVEL, pks[0], mode=mode, cache_path=vpath)
+        assert v2.verify(list(zip(msgs, sigs))) == [True, True]
+        v3 = api.Verifier(LEVEL, pks[1], mode=mode, cache_path=vpath)
+        assert v3.verify(list(zip(msgs, sigs))) == [False, False]
+
+
 def test_signer_mxu_mode_matches_batch(kat2):
     """Signer(mode="mxu") (dense-operator stream path) must emit the same
     signature bytes as the lockstep "batch" mode on any backend."""
