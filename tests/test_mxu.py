@@ -99,6 +99,30 @@ def test_verify_mxu_matches_generic(key_ctx):
     assert np.asarray(mxu.verify_mxu(vops, res.sig, mus, p)).all()
 
 
+@pytest.mark.parametrize("level", [3, 5])
+def test_mxu_sign_verify_other_levels(level):
+    """Dense-operator sign AND verify pinned bit-exact at the other two
+    parameter sets (K/L/gamma/omega all differ; a shape- or
+    constant-dependent bug in the operator builders would hide at
+    LEVEL=2 only)."""
+    p = params.get_params(level)
+    seed = jnp.asarray(RNG.integers(0, 256, size=(32,), dtype=np.uint8))
+    kp = scheme.keygen(seed, p)
+    ek = scheme.expand_sk(kp.sk, p)
+    ops = mxu.build_operators(kp.sk, p)
+    mus = jnp.asarray(RNG.integers(0, 256, size=(3, 64), dtype=np.uint8))
+    ref = scheme.sign_stream(ek, mus, p, window=3, max_rounds=512)
+    got = mxu.sign_stream_mxu(ops, mus, p, window=3, max_rounds=512)
+    assert np.asarray(got.ok).all()
+    np.testing.assert_array_equal(np.asarray(got.sig), np.asarray(ref.sig))
+
+    vops = mxu.build_verify_operators(kp.pk, p)
+    assert np.asarray(mxu.verify_mxu(vops, got.sig, mus, p)).all()
+    bad = np.asarray(got.sig).copy()
+    bad[:, 33] ^= 1
+    assert not np.asarray(mxu.verify_mxu(vops, jnp.asarray(bad), mus, p)).any()
+
+
 def test_verify_expanded_matches_generic(key_ctx):
     p, kp, ek, ops = key_ctx
     mus = jnp.asarray(RNG.integers(0, 256, size=(4, 64), dtype=np.uint8))
