@@ -21,6 +21,38 @@ def _seeds(n, length=32):
     return jnp.asarray(RNG.integers(0, 256, size=(n, length), dtype=np.uint8))
 
 
+def test_rank_compact_sparse_matches_scatter():
+    """Sparse (shifted compare-select) compaction == general scatter
+    compaction on random masks within the skip budget."""
+    cand = jnp.asarray(RNG.integers(0, 1 << 23, size=(64, 336), dtype=np.int64).astype(np.uint32))
+    accept = cand < jnp.uint32(Q)  # ~1e-3 reject rate
+    ref, ok_ref = sampling._rank_compact(cand, accept, 256)
+    got, ok_got = sampling._rank_compact_sparse(cand, accept, 256, max_skips=12)
+    assert np.asarray(ok_ref).all() and np.asarray(ok_got).all()
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_rank_compact_sparse_skip_budget_edges():
+    """Coverage flag semantics: exactly max_skips rejects in the window is
+    still exact; one more reject before the last needed slot trips ok
+    False (never a silently wrong value)."""
+    n_cand, n_out, S = 300, 256, 8
+    base = np.arange(n_cand, dtype=np.uint32) + 1  # all nonzero, accepted
+    for n_rej in (S, S + 1):
+        cand = base.copy()
+        cand[:n_rej] = 0  # rejected candidates at the front
+        accept = cand != 0
+        expect = base[n_rej:n_rej + n_out]
+        got, ok = sampling._rank_compact_sparse(
+            jnp.asarray(cand[None]), jnp.asarray(accept[None]), n_out, max_skips=S
+        )
+        if n_rej <= S:
+            assert np.asarray(ok).all()
+            np.testing.assert_array_equal(np.asarray(got)[0], expect)
+        else:
+            assert not np.asarray(ok).any()
+
+
 @pytest.mark.parametrize("level", [2, 3, 5])
 def test_expand_a_range_and_determinism(level):
     p = get_params(level)
