@@ -150,6 +150,13 @@ def main():
     f = jax.jit(lambda v, s_, m_: mxu.verify_mxu(v, s_, m_, p))
     report("verify_mxu", timeit(f, vops, sig_b, mu), B)
 
+    # fresh-key verify: distinct pk per lane (includes per-lane ExpandA —
+    # the path a CA-style workload hits; signatures don't match the keys,
+    # which exercises identical compute, just ok=False)
+    pk_many = scheme.keygen(seed, p).pk
+    f = jax.jit(lambda pk_, s_, m_: scheme.verify(pk_, s_, m_, p))
+    report("verify_fresh_keys", timeit(f, pk_many, sig_b[:Ba], mu[:Ba], iters=3), Ba)
+
     print(json.dumps({k: round(v["per_unit_us"], 2) for k, v in results.items()}))
 
 
