@@ -71,3 +71,25 @@ def test_malformed_hint_padding_rejects(ctx):
     bad = sig.copy()
     bad[:, 32 + p.L * p.polyz_packedbytes + p.omega - 1] = 255  # junk in pad
     assert not _ver(p, kp.pk, bad, mus).any()
+
+
+def test_random_bitflip_fuzz_rejects(ctx):
+    """Any single flipped bit anywhere in the signature must reject —
+    strong malleability sweep over 64 random (byte, bit) positions."""
+    p, kp, mus, sig = ctx
+    positions = RNG.integers(0, p.sig_bytes, size=64)
+    bits = RNG.integers(0, 8, size=64)
+    bad = np.repeat(sig[:1], 64, axis=0)
+    for r, (off, b) in enumerate(zip(positions, bits)):
+        bad[r, off] ^= 1 << b
+    mus64 = jnp.broadcast_to(mus[0], (64,) + mus.shape[1:])
+    pk64 = jnp.broadcast_to(kp.pk[0], (64,) + kp.pk.shape[1:])
+    ok = _ver(p, pk64, bad, mus64)
+    assert not ok.any(), f"bit flips accepted at rows {np.nonzero(ok)[0]}"
+
+
+def test_all_zero_and_all_ones_sig_reject(ctx):
+    p, kp, mus, sig = ctx
+    for fill in (0x00, 0xFF):
+        junk = np.full_like(sig, fill)
+        assert not _ver(p, kp.pk, junk, mus).any()
