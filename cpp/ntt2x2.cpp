@@ -4,33 +4,12 @@ namespace oracle {
 
 namespace {
 
-// Plain ("Barrett-domain") mod-q arithmetic: the 2x2 model deliberately
-// avoids the Montgomery helpers the main oracle uses so the differential
-// tests compare two independent arithmetic stacks (as the reference pits
-// `ref_ntt2x2.cpp`'s %-arithmetic against `ref_ntt.cpp`).
-inline int32_t pmul(int32_t a, int32_t b) {
-  return int32_t((int64_t(a) * b) % kQ);
-}
+inline int32_t pmul(int32_t a, int32_t b) { return plain_mul(a, b); }
+inline int32_t padd(int32_t a, int32_t b) { return plain_add(a, b); }
+inline int32_t psub(int32_t a, int32_t b) { return plain_sub(a, b); }
+inline int32_t pdiv2(int32_t a) { return plain_div2(a); }
 
-inline int32_t padd(int32_t a, int32_t b) {
-  int32_t t = a + b;
-  return t >= kQ ? t - kQ : t;
-}
-
-inline int32_t psub(int32_t a, int32_t b) {
-  int32_t t = a - b;
-  return t < 0 ? t + kQ : t;
-}
-
-// Exact halving mod q (q odd): the per-level fold the RTL uses instead of a
-// final 1/256 multiply (`ref_ntt2x2.cpp:91`, `butterfly.v:214-222`).
-inline int32_t pdiv2(int32_t a) {
-  return (a >> 1) + ((a & 1) ? (kQ + 1) / 2 : 0);
-}
-
-// Natural-order plain zeta table: zetas[k] = zeta^bitrev8(k) mod q with
-// zeta = 1753, matching `zetas.txt` / `consts.cpp:64-97` exactly for
-// k >= 1 (entry 0 is unused; the file stores 0 there).
+// Natural-order plain zeta table (see `plain_zeta` in the header).
 struct PlainZetas {
   int32_t z[kN];
   PlainZetas() {
@@ -63,6 +42,8 @@ inline void gsbf2(int32_t* a, int32_t* b, int32_t neg_zeta) {
 }
 
 }  // namespace
+
+int32_t plain_zeta(int k) { return kPlain.z[k]; }
 
 void ntt2x2(Poly a) {
   // Four passes, two CT levels fused per pass (`ref_ntt2x2.cpp:37-82`):

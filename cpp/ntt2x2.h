@@ -29,6 +29,32 @@
 
 namespace oracle {
 
+// Plain ("Barrett-domain") mod-q arithmetic shared by the 2x2 models: they
+// deliberately avoid the Montgomery helpers the main oracle uses so the
+// differential tests compare two independent arithmetic stacks (as the
+// reference pits `ref_ntt2x2.cpp`'s %-arithmetic against `ref_ntt.cpp`).
+inline int32_t plain_mul(int32_t a, int32_t b) {
+  return int32_t((int64_t(a) * b) % kQ);
+}
+inline int32_t plain_add(int32_t a, int32_t b) {
+  int32_t t = a + b;
+  return t >= kQ ? t - kQ : t;
+}
+inline int32_t plain_sub(int32_t a, int32_t b) {
+  int32_t t = a - b;
+  return t < 0 ? t + kQ : t;
+}
+// Exact halving mod q (q odd): the per-level fold the RTL uses instead of a
+// final 1/256 multiply (`ref_ntt2x2.cpp:91`, `butterfly.v:214-222`).
+inline int32_t plain_div2(int32_t a) {
+  return (a >> 1) + ((a & 1) ? (kQ + 1) / 2 : 0);
+}
+
+// Natural-order plain zeta table entry: zeta^bitrev8(k) mod q (zeta = 1753),
+// matching `zetas.txt` / `consts.cpp:64-97` exactly for k >= 1 (entry 0 is
+// unused; the file stores 0 there).
+int32_t plain_zeta(int k);
+
 // In-place fused 2x2 forward/inverse NTT on a flat polynomial, canonical
 // [0, q) in and out. `invntt2x2(ntt2x2(a)) == a` (the div2 folding absorbs
 // the 1/256 scale); outputs are bit-identical to `ntt`/`invntt`.
@@ -68,5 +94,15 @@ void lineram_mul(LineRam* ram, const LineRam& other, Mapping mapping);
 // Layout produced by an op given its input layout (exposed for tests).
 Mapping after_fwdntt(Mapping in);
 Mapping after_invntt(Mapping in);
+
+// Pipeline-ordered model of the engine's FIFO dataflow (ntt2x2_staged.cpp):
+// same contract as lineram_fwdntt/lineram_invntt but computed in the
+// reference hardware model's touch order — stride walk, 4-line corner-turn
+// groups, one-group-delayed writeback (`hardware_code/ntt2x2_fwdntt.cpp`,
+// `fifo.h`). Aborts if any butterfly's operands fail to form a clean NTT
+// group or the final layout deviates from the permutation contract; must
+// produce bit-identical LineRam contents to the behavioral ops.
+void staged_fwdntt(LineRam* ram, Mapping mapping);
+void staged_invntt(LineRam* ram, Mapping mapping);
 
 }  // namespace oracle

@@ -139,6 +139,34 @@ static int one_iteration(bool with_schoolbook) {
   oracle::extract(ram, oracle::Mapping::kAfterInvntt, got);
   err |= poly_eq(got, ref, "lineram inv NATURAL->AFTER_INVNTT");
 
+  // staged (pipeline-ordered) model == behavioral model, bit-identical RAM
+  // contents, from both layouts an op can start under in the real chains
+  rand_poly(a);
+  {
+    oracle::LineRam rs, rbm;
+    oracle::reshape(&rs, a);
+    rbm = rs;
+    oracle::staged_fwdntt(&rs, oracle::Mapping::kNatural);
+    oracle::lineram_fwdntt(&rbm, oracle::Mapping::kNatural);
+    err |= std::memcmp(&rs, &rbm, sizeof rs) != 0;
+    if (err) std::printf("MISMATCH staged fwd vs behavioral (NATURAL)\n");
+    // chain the inverse from the forward's output layout
+    oracle::staged_invntt(&rs, oracle::Mapping::kAfterNtt);
+    oracle::lineram_invntt(&rbm, oracle::Mapping::kAfterNtt);
+    err |= std::memcmp(&rs, &rbm, sizeof rs) != 0;
+    if (err) std::printf("MISMATCH staged inv vs behavioral (AFTER_NTT)\n");
+  }
+  rand_poly(a);
+  {
+    oracle::LineRam rs, rbm;
+    oracle::reshape(&rs, a);
+    rbm = rs;
+    oracle::staged_invntt(&rs, oracle::Mapping::kNatural);
+    oracle::lineram_invntt(&rbm, oracle::Mapping::kNatural);
+    err |= std::memcmp(&rs, &rbm, sizeof rs) != 0;
+    if (err) std::printf("MISMATCH staged inv vs behavioral (NATURAL)\n");
+  }
+
   // full chain: fwd(a), fwd(b), mul, inv lands back on NATURAL
   rand_poly(a);
   rand_poly(b);
