@@ -371,12 +371,30 @@ def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
 
     def body(state):
         n_active, nxt, qidx, kappa, ct_q, z_q, h_q, att_out, rounds = state
-        na = jnp.maximum(n_active, 1)
-        # slot s serves item s % na with attempt index t = s // na
-        item = slots % na                 # [W]
-        t = slots // na                   # [W]
-        q_s = jnp.take(qidx, item)        # queue index per slot
-        kap_s = jnp.take(kappa, item) + t * jnp.int32(p.L)
+
+        # While every slot serves its own item (n_active == W, the whole
+        # queue-consuming phase), the elastic slot map is the identity:
+        # skip its runtime divisions/gathers via a scalar-predicate cond.
+        # The elastic map only does real work during the drain tail.
+        steady = n_active == jnp.int32(W)
+
+        def slot_map_steady(qidx_, kappa_):
+            # + zero_w: match the elastic branch's device-varying output
+            # types under shard_map (cond requires identical vma)
+            return qidx_, kappa_, slots + zero_w, zero_w  # q_s, kap_s, item, t
+
+        def slot_map_elastic(qidx_, kappa_):
+            na = jnp.maximum(n_active, 1)
+            # slot s serves item s % na with attempt index t = s // na
+            item = slots % na             # [W]
+            t = slots // na               # [W]
+            q_s = jnp.take(qidx_, item)   # queue index per slot
+            kap_s = jnp.take(kappa_, item) + t * jnp.int32(p.L)
+            return q_s, kap_s, item, t
+
+        q_s, kap_s, item, t = jax.lax.cond(
+            steady, slot_map_steady, slot_map_elastic, qidx, kappa
+        )
         safe = jnp.minimum(q_s, Q - 1)
         mu_s = jnp.take(mu, safe, axis=0)
         rp_s = jnp.take(rhoprime, safe, axis=0)
@@ -384,44 +402,77 @@ def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
         c_tilde, z, h, accept = attempt_fn(mu_s, rp_s, kap_s.astype(_U32))
         accept = accept & (q_s < Q)
 
-        # per item: smallest accepted attempt index among its slots
-        win_t = jnp.full((W,), BIG, dtype=_I32) + zero_w
-        win_t = win_t.at[item].min(jnp.where(accept, t, BIG), mode="drop")
-        committed = win_t < BIG           # [W] (item-indexed)
-        # winning slot of item i is i + na * win_t[i]
-        win_slot = jnp.minimum(slots + na * jnp.where(committed, win_t, 0), W - 1)
+        # Steady commit also requires the queue to cover every refill this
+        # round; otherwise fall through to the elastic commit, which
+        # handles partial refill + front-compaction (the transition round
+        # and the drain). With n_active == W the elastic commit computes
+        # the same function, so gating on the cheaper path is safe.
+        n_acc = jnp.sum(accept.astype(_I32))
+        use_steady = steady & (nxt + n_acc <= Q)
 
-        tgt = jnp.where(committed, qidx, Q)  # scatter only committed items
-        ct_q = ct_q.at[tgt].set(jnp.take(c_tilde, win_slot, axis=0), mode="drop")
-        z_q = z_q.at[tgt].set(jnp.take(z, win_slot, axis=0), mode="drop")
-        h_q = h_q.at[tgt].set(
-            jnp.take(h, win_slot, axis=0).astype(_U8), mode="drop"
+        def commit_steady(qidx_, kappa_):
+            committed = accept            # slot == item
+            tgt = jnp.where(committed, qidx_, Q)
+            att_val = kappa_ // p.L + 1
+            acc_i = committed.astype(_I32)
+            rank = jnp.cumsum(acc_i) - acc_i
+            qidx_new = jnp.where(committed, nxt + rank, qidx_)
+            kappa_new = jnp.where(committed, 0, kappa_ + jnp.int32(p.L))
+            return (
+                tgt, c_tilde, z, h, att_val,
+                jnp.int32(W) + zero_w[0], nxt + n_acc, qidx_new, kappa_new,
+            )
+
+        def commit_elastic(qidx_, kappa_):
+            na = jnp.maximum(n_active, 1)
+            # per item: smallest accepted attempt index among its slots
+            win_t = jnp.full((W,), BIG, dtype=_I32) + zero_w
+            win_t = win_t.at[item].min(jnp.where(accept, t, BIG), mode="drop")
+            committed = win_t < BIG       # [W] (item-indexed)
+            # winning slot of item i is i + na * win_t[i]
+            win_slot = jnp.minimum(
+                slots + na * jnp.where(committed, win_t, 0), W - 1
+            )
+            tgt = jnp.where(committed, qidx_, Q)  # only committed items
+            sel_ct = jnp.take(c_tilde, win_slot, axis=0)
+            sel_z = jnp.take(z, win_slot, axis=0)
+            sel_h = jnp.take(h, win_slot, axis=0)
+            att_val = kappa_ // p.L + jnp.where(committed, win_t, 0) + 1
+
+            # advance kappa of surviving items by their slot count
+            n_slots = W // na + (slots < W % na).astype(_I32)
+            kappa_adv = kappa_ + n_slots * jnp.int32(p.L)
+
+            # compact survivors to the front, refill the tail
+            alive = (slots < n_active) & ~committed
+            rank = jnp.cumsum(alive.astype(_I32)) - alive.astype(_I32)
+            n_surv = jnp.sum(alive.astype(_I32))
+            pos = jnp.where(alive, rank, W)  # W = dropped
+            qidx_new = jnp.full((W,), Q, dtype=_I32) + zero_w
+            kappa_new = zero_w
+            qidx_new = qidx_new.at[pos].set(qidx_, mode="drop")
+            kappa_new = kappa_new.at[pos].set(kappa_adv, mode="drop")
+            fresh = nxt + (slots - n_surv)
+            take_fresh = (slots >= n_surv) & (fresh < Q)
+            qidx_new = jnp.where(take_fresh, fresh, qidx_new)
+            kappa_new = jnp.where(take_fresh, 0, kappa_new)
+            n_fresh = jnp.sum(take_fresh.astype(_I32))
+            return (
+                tgt, sel_ct, sel_z, sel_h, att_val,
+                n_surv + n_fresh, nxt + n_fresh, qidx_new, kappa_new,
+            )
+
+        (tgt, sel_ct, sel_z, sel_h, att_val,
+         n_active_new, nxt_new, qidx_new, kappa_new) = jax.lax.cond(
+            use_steady, commit_steady, commit_elastic, qidx, kappa
         )
-        att_out = att_out.at[tgt].set(
-            kappa // p.L + jnp.where(committed, win_t, 0) + 1, mode="drop"
-        )
 
-        # advance kappa of surviving items by their slot count this round
-        n_slots = W // na + (slots < W % na).astype(_I32)  # [W] per item
-        kappa_adv = kappa + n_slots * jnp.int32(p.L)
-
-        # compact survivors to the front, refill the tail from the queue
-        alive = (slots < n_active) & ~committed
-        rank = jnp.cumsum(alive.astype(_I32)) - alive.astype(_I32)
-        n_surv = jnp.sum(alive.astype(_I32))
-        pos = jnp.where(alive, rank, W)  # W = dropped
-        qidx_new = jnp.full((W,), Q, dtype=_I32) + zero_w
-        kappa_new = zero_w
-        qidx_new = qidx_new.at[pos].set(qidx, mode="drop")
-        kappa_new = kappa_new.at[pos].set(kappa_adv, mode="drop")
-        # fresh items from the queue fill ranks [n_surv, n_active')
-        fresh = nxt + (slots - n_surv)
-        take_fresh = (slots >= n_surv) & (fresh < Q)
-        qidx_new = jnp.where(take_fresh, fresh, qidx_new)
-        kappa_new = jnp.where(take_fresh, 0, kappa_new)
-        n_fresh = jnp.sum(take_fresh.astype(_I32))
+        ct_q = ct_q.at[tgt].set(sel_ct, mode="drop")
+        z_q = z_q.at[tgt].set(sel_z, mode="drop")
+        h_q = h_q.at[tgt].set(sel_h.astype(_U8), mode="drop")
+        att_out = att_out.at[tgt].set(att_val, mode="drop")
         return (
-            n_surv + n_fresh, nxt + n_fresh, qidx_new, kappa_new,
+            n_active_new, nxt_new, qidx_new, kappa_new,
             ct_q, z_q, h_q, att_out, rounds + 1,
         )
 
