@@ -67,7 +67,10 @@ def main():
     batch = int(os.environ.get("DILITHIUM_BENCH_BATCH", "16384"))
     iters = int(os.environ.get("DILITHIUM_BENCH_ITERS", "20"))
     mode = os.environ.get("DILITHIUM_BENCH_MODE", "mxu")
-    window = int(os.environ.get("DILITHIUM_BENCH_WINDOW", "4096"))
+    # W=768 operating point (2026-08-19 sweep with the lean steady-state
+    # scheduler: 512->167.8k, 640->134.6k?, 768->171-176k, 896->165.1k,
+    # 1024->169-170k, 2048->157.6k, 4096->143.6k, 8192->124.3k)
+    window = int(os.environ.get("DILITHIUM_BENCH_WINDOW", "768"))
 
     rng = np.random.default_rng(0)
     if mode == "verify":

@@ -176,7 +176,7 @@ class Signer:
     """
 
     def __init__(self, level: int, sk: Bytes, mode: str = "auto",
-                 window: int = 1024, cache_path: Optional[str] = None):
+                 window: int = 768, cache_path: Optional[str] = None):
         self.p = get_params(level)
         self.level = level
         sk_b = bytes(sk)

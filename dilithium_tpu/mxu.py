@@ -249,7 +249,7 @@ def sign_stream_mxu(
     ops: KeyOperators,
     mu: jnp.ndarray,
     p: DilithiumParams,
-    window: int = 1024,
+    window: int = 768,
     max_rounds: int = 8192,
 ) -> scheme.SignResult:
     """Elastic-scheduler stream signer over the MXU operators — same loop

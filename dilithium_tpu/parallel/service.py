@@ -88,7 +88,7 @@ def sharded_sign(
 def sharded_sign_stream(
     mesh: Mesh,
     p: DilithiumParams,
-    window: int = 1024,
+    window: int = 768,
     max_rounds: int = 8192,
     use_mxu: bool = True,
 ):

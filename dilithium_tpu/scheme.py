@@ -289,7 +289,7 @@ def sign_stream(
     ek: ExpandedKey,
     mu: jnp.ndarray,
     p: DilithiumParams,
-    window: int = 1024,
+    window: int = 768,
     max_rounds: int = 4096,
 ) -> SignResult:
     """Throughput-optimal signing of a queue of messages under ONE key.
