@@ -410,20 +410,28 @@ def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
         n_acc = jnp.sum(accept.astype(_I32))
         use_steady = steady & (nxt + n_acc <= Q)
 
-        def commit_steady(qidx_, kappa_):
+        # Payload scatters live INSIDE the branches so the selected rows
+        # never cross the cond boundary: the steady branch scatters the
+        # attempt outputs directly (no win-slot gathers, no intermediate
+        # copies of z/h/c_tilde); the queue-sized buffers alias through
+        # the conditional as ordinary while-carry state.
+        def commit_steady(qidx_, kappa_, ct_q_, z_q_, h_q_, att_):
             committed = accept            # slot == item
             tgt = jnp.where(committed, qidx_, Q)
-            att_val = kappa_ // p.L + 1
+            ct_q_ = ct_q_.at[tgt].set(c_tilde, mode="drop")
+            z_q_ = z_q_.at[tgt].set(z, mode="drop")
+            h_q_ = h_q_.at[tgt].set(h.astype(_U8), mode="drop")
+            att_ = att_.at[tgt].set(kappa_ // p.L + 1, mode="drop")
             acc_i = committed.astype(_I32)
             rank = jnp.cumsum(acc_i) - acc_i
             qidx_new = jnp.where(committed, nxt + rank, qidx_)
             kappa_new = jnp.where(committed, 0, kappa_ + jnp.int32(p.L))
             return (
-                tgt, c_tilde, z, h, att_val,
                 jnp.int32(W) + zero_w[0], nxt + n_acc, qidx_new, kappa_new,
+                ct_q_, z_q_, h_q_, att_,
             )
 
-        def commit_elastic(qidx_, kappa_):
+        def commit_elastic(qidx_, kappa_, ct_q_, z_q_, h_q_, att_):
             na = jnp.maximum(n_active, 1)
             # per item: smallest accepted attempt index among its slots
             win_t = jnp.full((W,), BIG, dtype=_I32) + zero_w
@@ -434,10 +442,16 @@ def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
                 slots + na * jnp.where(committed, win_t, 0), W - 1
             )
             tgt = jnp.where(committed, qidx_, Q)  # only committed items
-            sel_ct = jnp.take(c_tilde, win_slot, axis=0)
-            sel_z = jnp.take(z, win_slot, axis=0)
-            sel_h = jnp.take(h, win_slot, axis=0)
-            att_val = kappa_ // p.L + jnp.where(committed, win_t, 0) + 1
+            ct_q_ = ct_q_.at[tgt].set(
+                jnp.take(c_tilde, win_slot, axis=0), mode="drop"
+            )
+            z_q_ = z_q_.at[tgt].set(jnp.take(z, win_slot, axis=0), mode="drop")
+            h_q_ = h_q_.at[tgt].set(
+                jnp.take(h, win_slot, axis=0).astype(_U8), mode="drop"
+            )
+            att_ = att_.at[tgt].set(
+                kappa_ // p.L + jnp.where(committed, win_t, 0) + 1, mode="drop"
+            )
 
             # advance kappa of surviving items by their slot count
             n_slots = W // na + (slots < W % na).astype(_I32)
@@ -458,19 +472,15 @@ def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
             kappa_new = jnp.where(take_fresh, 0, kappa_new)
             n_fresh = jnp.sum(take_fresh.astype(_I32))
             return (
-                tgt, sel_ct, sel_z, sel_h, att_val,
                 n_surv + n_fresh, nxt + n_fresh, qidx_new, kappa_new,
+                ct_q_, z_q_, h_q_, att_,
             )
 
-        (tgt, sel_ct, sel_z, sel_h, att_val,
-         n_active_new, nxt_new, qidx_new, kappa_new) = jax.lax.cond(
-            use_steady, commit_steady, commit_elastic, qidx, kappa
+        (n_active_new, nxt_new, qidx_new, kappa_new,
+         ct_q, z_q, h_q, att_out) = jax.lax.cond(
+            use_steady, commit_steady, commit_elastic,
+            qidx, kappa, ct_q, z_q, h_q, att_out,
         )
-
-        ct_q = ct_q.at[tgt].set(sel_ct, mode="drop")
-        z_q = z_q.at[tgt].set(sel_z, mode="drop")
-        h_q = h_q.at[tgt].set(sel_h.astype(_U8), mode="drop")
-        att_out = att_out.at[tgt].set(att_val, mode="drop")
         return (
             n_active_new, nxt_new, qidx_new, kappa_new,
             ct_q, z_q, h_q, att_out, rounds + 1,
