@@ -67,10 +67,15 @@ def main():
     batch = int(os.environ.get("DILITHIUM_BENCH_BATCH", "16384"))
     iters = int(os.environ.get("DILITHIUM_BENCH_ITERS", "20"))
     mode = os.environ.get("DILITHIUM_BENCH_MODE", "mxu")
-    # W=768 operating point (2026-08-19 sweep with the lean steady-state
-    # scheduler: 512->167.8k, 640->134.6k?, 768->171-176k, 896->165.1k,
-    # 1024->169-170k, 2048->157.6k, 4096->143.6k, 8192->124.3k)
-    window = int(os.environ.get("DILITHIUM_BENCH_WINDOW", "768"))
+    # Per-level operating points (2026-08-19 sweeps with the lean
+    # steady-state scheduler; Q=16384):
+    #   level 3: 512->167.8k, 768->171-176k, 896->165.1k, 1024->169-170k,
+    #            2048->157.6k, 4096->143.6k, 8192->124.3k -> W=768
+    #   level 2: 768->171.5k, 1024->235.5k, 1536->246.6k, 2048->238.6k
+    #   level 5: 512->148.0k, 768->156.4k
+    window = int(os.environ.get(
+        "DILITHIUM_BENCH_WINDOW", {2: "1536", 3: "768", 5: "768"}[level]
+    ))
 
     rng = np.random.default_rng(0)
     if mode == "verify":

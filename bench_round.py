@@ -42,7 +42,7 @@ def main():
     from dilithium_tpu import params, scheme
     from dilithium_tpu.ops import pack
 
-    W = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    W = int(sys.argv[1]) if len(sys.argv) > 1 else 768
     p = params.get_params(3)
     rng = np.random.default_rng(0)
     print(f"device: {jax.devices()[0]}, window: {W}", file=sys.stderr)

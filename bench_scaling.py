@@ -50,7 +50,7 @@ def main():
     level = int(os.environ.get("DILITHIUM_BENCH_LEVEL", "3"))
     per_dev = int(os.environ.get("DILITHIUM_BENCH_BATCH", "16384"))
     iters = int(os.environ.get("DILITHIUM_BENCH_ITERS", "10"))
-    window = int(os.environ.get("DILITHIUM_BENCH_WINDOW", "4096"))
+    window = int(os.environ.get("DILITHIUM_BENCH_WINDOW", "768"))
     p = params.get_params(level)
 
     devices = jax.devices()
