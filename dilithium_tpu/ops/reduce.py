@@ -93,6 +93,22 @@ def csubq(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(a >= np.uint32(Q), a - np.uint32(Q), a)
 
 
+def shoup_mul(a: jnp.ndarray, z, z_shoup) -> jnp.ndarray:
+    """a * z mod q for a in [0, q) and a PRECOMPUTED constant z in [0, q).
+
+    Shoup's trick: with z_shoup = floor(z * 2^32 / q), the quotient
+    estimate floor(a * z_shoup / 2^32) puts r = a*z - est*q in [0, 2q) —
+    6 hardware 32-bit multiplies (4 in mulhi + 2 low halves) vs 10 for
+    `mont_mul`, which matters because the VPU emulates int32 multiply.
+    Used by the NTT kernels, where every zeta is a trace-time constant
+    with its companion table.
+    """
+    a = a.astype(_U32)
+    est = mulhi_u32(a, z_shoup)
+    # both products taken mod 2^32; the true remainder < 2q < 2^32
+    return csubq(a * z - est * np.uint32(Q))
+
+
 def add_mod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a + b) mod q for inputs in [0, q)."""
     return csubq(a.astype(_U32) + b.astype(_U32))
