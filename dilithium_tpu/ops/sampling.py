@@ -86,6 +86,35 @@ def _rank_compact_sparse(
     return out, jnp.all(covered, axis=-1)
 
 
+def _rank_compact_onehot(
+    cand: jnp.ndarray, accept: jnp.ndarray, n_out: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compact accepted candidates via a one-hot compare-and-reduce.
+
+    out[i] = the unique candidate with accept and rank == i — computed as
+    a [..., n_out, n_cand] broadcast compare that XLA fuses into its
+    reduction without materializing. The right tool at DENSE rejection
+    rates (eta sampling, 7/16 rejects), where `_rank_compact_sparse`'s
+    skip budget forces ~400 shifted window passes and goes HBM-bound
+    re-reading the candidate window: measured (v5e-1, B=16384, eta=4,
+    [B, 5..6, 816] -> 256) 152-185 ms for sparse vs ~13 ms for this form
+    — the same one-hot shape that won in `pack_hints`. ok reports budget
+    sufficiency exactly as the other compactions do.
+    """
+    acc = accept.astype(_I32)
+    rank = jnp.cumsum(acc, axis=-1) - acc
+    idx = jnp.where(accept, rank, jnp.int32(-1))     # [..., n_cand]
+    i = jnp.arange(n_out, dtype=_I32)                # [n_out]
+    sel = idx[..., None, :] == i[:, None]            # [..., n_out, n_cand]
+    out = jnp.sum(
+        jnp.where(sel, cand[..., None, :], jnp.zeros((), dtype=cand.dtype)),
+        axis=-1,
+        dtype=cand.dtype,
+    )
+    ok = (rank[..., -1] + acc[..., -1]) >= n_out
+    return out, ok
+
+
 def _rank_compact(cand: jnp.ndarray, accept: jnp.ndarray, n_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Compact accepted candidates (in order) to the first n_out slots.
 
@@ -169,15 +198,22 @@ def expand_s(
         accept = nib < 15
         val = jnp.int32(2) - (nib % 5).astype(_I32)
         # rejects before the 256th accept ~ NB(256, 15/16): mean 17, sd 4.3
-        # -> 64 skips is an 11-sigma budget (P[miss] ~ 1e-27/poly)
-        max_skips = 64
+        # -> 64 skips is an 11-sigma budget (P[miss] ~ 1e-27/poly); sparse
+        # compaction still wins at this rate (few window passes)
+        out, ok = _rank_compact_sparse(uncenter(val), accept, N, max_skips=64)
     else:
         accept = nib < 9
         val = jnp.int32(4) - nib.astype(_I32)
-        # NB(256, 9/16): mean 199, sd 18.8 -> 400 skips ~ 10.7 sigma
-        max_skips = 400
-    # sparse compaction: 5.3x (eta2) / 2.5x (eta4) faster than the scatter
-    out, ok = _rank_compact_sparse(uncenter(val), accept, N, max_skips)
+        # 7/16 reject rate is DENSE: the sparse form would need ~400
+        # window passes (NB(256, 9/16) mean 199, sd 18.8) and goes
+        # HBM-bound; the one-hot compare-reduce is ~12x faster here.
+        # Candidates beyond 256 + 400 can only land in-budget if >400
+        # earlier ones were rejected (the same 10.7-sigma budget the
+        # sparse form uses), so the compare window stops there.
+        win = min(N + 400, val.shape[-1])
+        out, ok = _rank_compact_onehot(
+            uncenter(val[..., :win]), accept[..., :win], N
+        )
     return out, jnp.all(ok, axis=-1)
 
 
