@@ -1,0 +1,115 @@
+"""A/B experiment: Keccak round variants for the fused XOF Pallas kernel.
+
+V0: shipped round (_round_soa: full B materialization then chi)
+V1: row-interleaved pi+chi (compute each chi output row as soon as its five
+    rho/pi inputs are formed -> smaller live set for the register allocator)
+
+Usage:
+  CPU exactness:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python /tmp/keccak_exp.py check
+  TPU timing:     python /tmp/keccak_exp.py bench V0|V1
+"""
+import sys, time, functools
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dilithium_tpu.ops import keccak as K
+
+
+def _round_v1(lo, hi, rc_lo, rc_hi):
+    """theta identical; pi+chi interleaved per output row."""
+    _rotl64 = K._rotl64
+    _RHO = K._RHO
+    # theta
+    c_lo = [lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20] for x in range(5)]
+    c_hi = [hi[x] ^ hi[x + 5] ^ hi[x + 10] ^ hi[x + 15] ^ hi[x + 20] for x in range(5)]
+    for x in range(5):
+        r_lo, r_hi = _rotl64(c_lo[(x + 1) % 5], c_hi[(x + 1) % 5], 1)
+        d_lo = c_lo[(x + 4) % 5] ^ r_lo
+        d_hi = c_hi[(x + 4) % 5] ^ r_hi
+        for y in range(5):
+            lo[x + 5 * y] = lo[x + 5 * y] ^ d_lo
+            hi[x + 5 * y] = hi[x + 5 * y] ^ d_hi
+
+    # pi+chi per output row by: B[bx + 5by] = rot(A[x + 5y]) with bx = y,
+    # by = (2x + 3y) % 5  =>  for output row `by`: y = bx, x = 3*(by - 3*bx) % 5
+    out_lo = [None] * 25
+    out_hi = [None] * 25
+    for by in range(5):
+        row_lo = [None] * 5
+        row_hi = [None] * 5
+        for bx in range(5):
+            y = bx
+            x = (3 * (by + 2 * y)) % 5  # solves (2x + 3y) % 5 == by
+            rl, rh = _rotl64(lo[x + 5 * y], hi[x + 5 * y], _RHO[x][y])
+            row_lo[bx] = rl
+            row_hi[bx] = rh
+        for bx in range(5):
+            out_lo[bx + 5 * by] = row_lo[bx] ^ (~row_lo[(bx + 1) % 5] & row_lo[(bx + 2) % 5])
+            out_hi[bx + 5 * by] = row_hi[bx] ^ (~row_hi[(bx + 1) % 5] & row_hi[(bx + 2) % 5])
+    out_lo[0] = out_lo[0] ^ rc_lo
+    out_hi[0] = out_hi[0] ^ rc_hi
+    return out_lo, out_hi
+
+
+def _f1600_v1(lo, hi):
+    lo = list(lo); hi = list(hi)
+    for rnd in range(24):
+        lo, hi = _round_v1(lo, hi, K._RC_LO[rnd], K._RC_HI[rnd])
+    return lo, hi
+
+
+def install(variant):
+    if variant == "V1":
+        K._f1600_soa = _f1600_v1
+
+
+def check():
+    import hashlib
+    rng = np.random.default_rng(0)
+    msgs = rng.integers(0, 256, size=(256, 66), dtype=np.uint8)
+    for variant in ("V0", "V1"):
+        orig = K._f1600_soa
+        install(variant)
+        out = np.asarray(K.shake256(jnp.asarray(msgs), 640))
+        K._f1600_soa = orig
+        ref = np.stack([
+            np.frombuffer(hashlib.shake_256(m.tobytes()).digest(640), dtype=np.uint8)
+            for m in msgs
+        ])
+        ok = np.array_equal(out, ref)
+        print(variant, "exact:", ok)
+        assert ok
+
+
+def bench(variant):
+    install(variant)
+    B = 16384
+    rng = np.random.default_rng(1)
+    msgs = jnp.asarray(rng.integers(0, 256, size=(B, 66), dtype=np.uint8))
+
+    @jax.jit
+    def run(m):
+        return K.shake256_words(m, 160)  # 640 bytes -> 5 perms/state
+
+    out = run(msgs)
+    jax.block_until_ready(out)
+    _ = np.asarray(jnp.sum(out.ravel()[:8]))  # force completion
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(msgs)
+    _ = np.asarray(jnp.sum(out.ravel()[:8]))
+    dt = time.perf_counter() - t0
+    nperm = 5
+    print(f"{variant}: {dt/iters*1e3:.3f} ms/call  "
+          f"{dt/iters/B/nperm*1e9:.2f} ns/state/perm")
+
+
+if __name__ == "__main__":
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    if sys.argv[1] == "check":
+        check()
+    else:
+        bench(sys.argv[2])

@@ -46,6 +46,26 @@ def compute_mu(tr: Bytes, message: Bytes) -> bytes:
     return h.digest(CRHBYTES)
 
 
+def compute_mu_batch(tr: jnp.ndarray, messages: jnp.ndarray) -> jnp.ndarray:
+    """Batched on-device mu = CRH(tr || M) for FIXED-length messages.
+
+    tr uint8 [..., 32] (or [32], broadcast), messages uint8 [..., mlen] —
+    the device analog of the reference streaming tr then M into its SHAKE
+    core (`expandmask_ext.v:126-153`); use when a batch of equal-length
+    messages should be hashed on-chip instead of per-row hashlib calls
+    (ragged batches go through `compute_mu`). Returns uint8 [..., 64].
+    """
+    from dilithium_tpu.ops import keccak
+
+    tr = jnp.asarray(tr, dtype=jnp.uint8)
+    messages = jnp.asarray(messages, dtype=jnp.uint8)
+    batch = messages.shape[:-1]
+    tr_b = jnp.broadcast_to(tr, batch + (TRBYTES,))
+    return keccak.shake256(
+        jnp.concatenate([tr_b, messages], axis=-1), CRHBYTES
+    )
+
+
 # ---------------------------------------------------------------------------
 # Persisted key expansions — the checkpoint/resume analog (SURVEY.md §5):
 # the scheme itself is stateless, so the only state worth persisting is the

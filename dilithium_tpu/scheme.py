@@ -345,6 +345,17 @@ def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
     attempt_fn(mu_s uint8 [W,64], rp_s uint8 [W,64], kappa_s uint32 [W])
     -> (c_tilde, z, h, accept) per slot.
 
+    Committed payloads are APPENDED to a log, not scattered to queue rows:
+    TPU row scatters cost ~85 ns per updated row regardless of row size
+    (measured: the per-round z/h/c_tilde scatters were ~100 us/round of a
+    ~590 us round at W=768, 112 rounds/16k queue). Each round instead
+    compacts its committed items to the front (one-hot compare-reduce on
+    the [W] index vectors — the same shape that beat scatter in pack_hints
+    and expand_s), gathers those W payload rows once, and writes them with
+    a single contiguous dynamic_update_slice at a running cursor — which
+    XLA updates in place on the while carry. One Q-row gather after the
+    loop restores queue order.
+
     Measured dead ends (do not retry; v5e-1, batch 16k, window 4096):
     * Carrying only the winning kappa in the loop and re-deriving committed
       signatures in one batched post-pass (to avoid scattering the ~9 KB
@@ -357,20 +368,28 @@ def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
       ~4% slower end to end in the real MXU graph (124.9k vs 131.3k
       signs/sec median) — writing W rows of z/h per round instead of only
       the ~W/5 committed ones adds more HBM traffic than the cheaper
-      scatter lowering saves.
+      scatter lowering saves. (The append-log above writes W rows too, but
+      as ONE contiguous DUS instead of a per-row scatter lowering.)
+    * Scattering the payloads inside the commit cond's branches (so only
+      selected rows cross the boundary): throughput-neutral at best; the
+      h-row scatter got 2x slower inside the branch (trace: 29 -> 56
+      us/round) — reverted.
     """
     Q = mu.shape[0]
     BIG = jnp.int32(1 << 20)
+    LOGN = Q + W + 1  # payload log: <= Q commits + one W-block of slack
+                      # + a never-written all-zero row (unsigned lanes)
 
     zero_w = (mu[:W, 0] & jnp.uint8(0)).astype(_I32)  # varying zeros [W]
     slots = jnp.arange(W, dtype=_I32)                 # static slot ids
 
     def cond(state):
-        n_active, nxt, qidx, kappa, ct_q, z_q, h_q, att_out, rounds = state
-        return (n_active > 0) & (rounds < max_rounds)
+        n_active, nxt, qidx, kappa, log_ptr, *_ = state
+        return (n_active > 0) & (state[-1] < max_rounds)
 
     def body(state):
-        n_active, nxt, qidx, kappa, ct_q, z_q, h_q, att_out, rounds = state
+        (n_active, nxt, qidx, kappa, log_ptr,
+         tgt_log, ct_log, z_log, h_log, att_log, rounds) = state
 
         # While every slot serves its own item (n_active == W, the whole
         # queue-consuming phase), the elastic slot map is the identity:
@@ -410,28 +429,23 @@ def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
         n_acc = jnp.sum(accept.astype(_I32))
         use_steady = steady & (nxt + n_acc <= Q)
 
-        # Payload scatters live INSIDE the branches so the selected rows
-        # never cross the cond boundary: the steady branch scatters the
-        # attempt outputs directly (no win-slot gathers, no intermediate
-        # copies of z/h/c_tilde); the queue-sized buffers alias through
-        # the conditional as ordinary while-carry state.
-        def commit_steady(qidx_, kappa_, ct_q_, z_q_, h_q_, att_):
+        # Branches return only [W] index/metadata vectors — the heavy
+        # z/h/c_tilde payloads never cross the cond boundary.
+        def commit_steady(qidx_, kappa_):
             committed = accept            # slot == item
             tgt = jnp.where(committed, qidx_, Q)
-            ct_q_ = ct_q_.at[tgt].set(c_tilde, mode="drop")
-            z_q_ = z_q_.at[tgt].set(z, mode="drop")
-            h_q_ = h_q_.at[tgt].set(h.astype(_U8), mode="drop")
-            att_ = att_.at[tgt].set(kappa_ // p.L + 1, mode="drop")
+            win_slot = slots + zero_w
+            att_val = kappa_ // p.L + 1
             acc_i = committed.astype(_I32)
             rank = jnp.cumsum(acc_i) - acc_i
             qidx_new = jnp.where(committed, nxt + rank, qidx_)
             kappa_new = jnp.where(committed, 0, kappa_ + jnp.int32(p.L))
             return (
+                committed, win_slot, tgt, att_val,
                 jnp.int32(W) + zero_w[0], nxt + n_acc, qidx_new, kappa_new,
-                ct_q_, z_q_, h_q_, att_,
             )
 
-        def commit_elastic(qidx_, kappa_, ct_q_, z_q_, h_q_, att_):
+        def commit_elastic(qidx_, kappa_):
             na = jnp.maximum(n_active, 1)
             # per item: smallest accepted attempt index among its slots
             win_t = jnp.full((W,), BIG, dtype=_I32) + zero_w
@@ -442,16 +456,7 @@ def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
                 slots + na * jnp.where(committed, win_t, 0), W - 1
             )
             tgt = jnp.where(committed, qidx_, Q)  # only committed items
-            ct_q_ = ct_q_.at[tgt].set(
-                jnp.take(c_tilde, win_slot, axis=0), mode="drop"
-            )
-            z_q_ = z_q_.at[tgt].set(jnp.take(z, win_slot, axis=0), mode="drop")
-            h_q_ = h_q_.at[tgt].set(
-                jnp.take(h, win_slot, axis=0).astype(_U8), mode="drop"
-            )
-            att_ = att_.at[tgt].set(
-                kappa_ // p.L + jnp.where(committed, win_t, 0) + 1, mode="drop"
-            )
+            att_val = kappa_ // p.L + jnp.where(committed, win_t, 0) + 1
 
             # advance kappa of surviving items by their slot count
             n_slots = W // na + (slots < W % na).astype(_I32)
@@ -472,18 +477,45 @@ def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
             kappa_new = jnp.where(take_fresh, 0, kappa_new)
             n_fresh = jnp.sum(take_fresh.astype(_I32))
             return (
+                committed, win_slot, tgt, att_val,
                 n_surv + n_fresh, nxt + n_fresh, qidx_new, kappa_new,
-                ct_q_, z_q_, h_q_, att_,
             )
 
-        (n_active_new, nxt_new, qidx_new, kappa_new,
-         ct_q, z_q, h_q, att_out) = jax.lax.cond(
-            use_steady, commit_steady, commit_elastic,
-            qidx, kappa, ct_q, z_q, h_q, att_out,
+        (committed, win_slot, tgt, att_val,
+         n_active_new, nxt_new, qidx_new, kappa_new) = jax.lax.cond(
+            use_steady, commit_steady, commit_elastic, qidx, kappa
         )
+
+        # Append committed payloads to the log. Compact the committed
+        # items' winning slots / queue targets / attempt counts to the
+        # front with a one-hot compare-reduce over [W, W] (a 1-D index
+        # scatter here would cost as much as the row scatters this design
+        # removes), gather the W payload rows once, and write them as one
+        # contiguous block at the cursor.
+        acc_i = committed.astype(_I32)
+        rank = jnp.cumsum(acc_i) - acc_i
+        out_i = jnp.arange(W, dtype=_I32)[:, None]          # [W, 1]
+        sel = committed[None, :] & (rank[None, :] == out_i)  # [W, W]
+        src = jnp.sum(jnp.where(sel, win_slot[None, :], 0), axis=-1)
+        tgt_c = jnp.where(
+            out_i[:, 0] < n_acc,
+            jnp.sum(jnp.where(sel, tgt[None, :], 0), axis=-1),
+            Q,  # rows past this round's commits: drop at the final gather
+        )
+        att_c = jnp.sum(jnp.where(sel, att_val[None, :], 0), axis=-1)
+
+        ct_sel = jnp.take(c_tilde, src, axis=0)
+        z_sel = jnp.take(z, src, axis=0)
+        h_sel = jnp.take(h, src, axis=0).astype(_U8)
+        zero3 = (log_ptr & 0,) * 2
+        ct_log = jax.lax.dynamic_update_slice(ct_log, ct_sel, (log_ptr,) + zero3[:1])
+        z_log = jax.lax.dynamic_update_slice(z_log, z_sel, (log_ptr,) + zero3)
+        h_log = jax.lax.dynamic_update_slice(h_log, h_sel, (log_ptr,) + zero3)
+        tgt_log = jax.lax.dynamic_update_slice(tgt_log, tgt_c, (log_ptr,))
+        att_log = jax.lax.dynamic_update_slice(att_log, att_c, (log_ptr,))
         return (
-            n_active_new, nxt_new, qidx_new, kappa_new,
-            ct_q, z_q, h_q, att_out, rounds + 1,
+            n_active_new, nxt_new, qidx_new, kappa_new, log_ptr + n_acc,
+            tgt_log, ct_log, z_log, h_log, att_log, rounds + 1,
         )
 
     z8 = (zero_w[0] & 0).astype(_U8)
@@ -492,15 +524,26 @@ def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
         jnp.int32(W) + zero_w[0],                        # next unassigned
         jnp.arange(W, dtype=_I32) + zero_w,              # qidx (item -> queue)
         zero_w,                                          # kappa per item
-        jnp.zeros((Q, SEEDBYTES), dtype=_U8) + z8,       # c_tilde
-        jnp.zeros((Q, p.L, N), dtype=_U32) + z8.astype(_U32),  # z (canonical)
-        jnp.zeros((Q, p.K, N), dtype=_U8) + z8,          # hint bitmap
-        zero_w[0] + jnp.zeros((Q,), dtype=_I32),         # attempts (0 = unsigned)
+        zero_w[0],                                       # log cursor
+        jnp.full((LOGN,), Q, dtype=_I32) + zero_w[0],    # tgt_log (Q = unused)
+        jnp.zeros((LOGN, SEEDBYTES), dtype=_U8) + z8,    # c_tilde log
+        jnp.zeros((LOGN, p.L, N), dtype=_U32) + z8.astype(_U32),  # z log
+        jnp.zeros((LOGN, p.K, N), dtype=_U8) + z8,       # hint bitmap log
+        zero_w[0] + jnp.zeros((LOGN,), dtype=_I32),      # attempts log
         zero_w[0],                                       # round counter
     )
-    (n_active, nxt, qidx, kappa, ct_q, z_q, h_q, att_out, rounds) = (
+    (n_active, nxt, qidx, kappa, log_ptr,
+     tgt_log, ct_log, z_log, h_log, att_log, rounds) = (
         jax.lax.while_loop(cond, body, state0)
     )
+    # restore queue order: log row of queue item q, defaulting to the
+    # never-written all-zero last row (unsigned lanes -> attempts 0)
+    inv = jnp.full((Q,), LOGN - 1, dtype=_I32) + zero_w[0]
+    inv = inv.at[tgt_log].set(jnp.arange(LOGN, dtype=_I32), mode="drop")
+    ct_q = jnp.take(ct_log, inv, axis=0)
+    z_q = jnp.take(z_log, inv, axis=0)
+    h_q = jnp.take(h_log, inv, axis=0)
+    att_out = jnp.take(att_log, inv, axis=0)
     sig_out = pack.pack_sig(ct_q, z_q, h_q.astype(_U32), p)
     ok = att_out > 0
     return SignResult(sig_out, att_out, ok)

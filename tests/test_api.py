@@ -110,3 +110,14 @@ def test_signer_mxu_mode_matches_batch(kat2):
     ref = api.Signer(LEVEL, sks[0], mode="batch").sign(msgs)
     got = api.Signer(LEVEL, sks[0], mode="mxu", window=2).sign(msgs)
     assert got == ref
+
+
+def test_compute_mu_batch_matches_host():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    tr = rng.integers(0, 256, 32, dtype=np.uint8)
+    msgs = rng.integers(0, 256, (5, 217), dtype=np.uint8)
+    dev = np.asarray(api.compute_mu_batch(jnp.asarray(tr), jnp.asarray(msgs)))
+    for i in range(5):
+        assert bytes(dev[i]) == api.compute_mu(tr.tobytes(), msgs[i].tobytes())
