@@ -492,13 +492,22 @@ def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
         # scatter here would cost as much as the row scatters this design
         # removes), gather the W payload rows once, and write them as one
         # contiguous block at the cursor.
+        #
+        # The cutoff and the cursor advance are the COMMITTED-ITEM count,
+        # not the accepting-slot count n_acc: in elastic drain rounds two
+        # slots of one item can both accept (speculative kappas), and rows
+        # in [n_commit, n_acc) would have all-false `sel`, appending bogus
+        # entries that target queue item 0 with attempts 0. n_acc stays
+        # only in the use_steady gate / commit_steady's nxt advance, where
+        # slot == item makes the two counts equal.
+        n_commit = jnp.sum(committed.astype(_I32))
         acc_i = committed.astype(_I32)
         rank = jnp.cumsum(acc_i) - acc_i
         out_i = jnp.arange(W, dtype=_I32)[:, None]          # [W, 1]
         sel = committed[None, :] & (rank[None, :] == out_i)  # [W, W]
         src = jnp.sum(jnp.where(sel, win_slot[None, :], 0), axis=-1)
         tgt_c = jnp.where(
-            out_i[:, 0] < n_acc,
+            out_i[:, 0] < n_commit,
             jnp.sum(jnp.where(sel, tgt[None, :], 0), axis=-1),
             Q,  # rows past this round's commits: drop at the final gather
         )
@@ -514,7 +523,7 @@ def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
         tgt_log = jax.lax.dynamic_update_slice(tgt_log, tgt_c, (log_ptr,))
         att_log = jax.lax.dynamic_update_slice(att_log, att_c, (log_ptr,))
         return (
-            n_active_new, nxt_new, qidx_new, kappa_new, log_ptr + n_acc,
+            n_active_new, nxt_new, qidx_new, kappa_new, log_ptr + n_commit,
             tgt_log, ct_log, z_log, h_log, att_log, rounds + 1,
         )
 

@@ -34,6 +34,26 @@ def test_stream_matches_sign(ctx, window):
     np.testing.assert_array_equal(np.asarray(res.attempts), np.asarray(ref.attempts))
 
 
+def test_stream_drain_double_accept(ctx):
+    """Regression: an elastic drain round where one item accepts at TWO
+    speculative kappa slots must append exactly one log entry.
+
+    With window == Q the queue is exhausted at round 0, so every round
+    after the first commit is an elastic drain round with W // n_active
+    speculative attempts per item — at L2's ~23% per-attempt accept rate
+    a double accept is near-certain across 24 items. The old code advanced
+    the log by accepting-SLOT count, appending bogus rows that target
+    queue item 0 with attempts 0 (item 0 then reads back unsigned).
+    """
+    p, kp, ek, _, _ = ctx
+    mus = jnp.asarray(RNG.integers(0, 256, size=(24, 64), dtype=np.uint8))
+    ref = scheme.sign_expanded(ek, mus, p, attempts_per_round=2, max_rounds=256)
+    res = scheme.sign_stream(ek, mus, p, window=24, max_rounds=1024)
+    assert np.asarray(res.ok).all()
+    np.testing.assert_array_equal(np.asarray(res.attempts), np.asarray(ref.attempts))
+    np.testing.assert_array_equal(np.asarray(res.sig), np.asarray(ref.sig))
+
+
 def test_stream_signatures_verify(ctx):
     p, kp, ek, mus, ref = ctx
     res = scheme.sign_stream(ek, mus, p, window=5, max_rounds=512)

@@ -5,11 +5,13 @@ V1: row-interleaved pi+chi (compute each chi output row as soon as its five
     rho/pi inputs are formed -> smaller live set for the register allocator)
 
 Usage:
-  CPU exactness:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python /tmp/keccak_exp.py check
-  TPU timing:     python /tmp/keccak_exp.py bench V0|V1
+  CPU exactness:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/keccak_exp.py check
+  TPU timing:     python tools/keccak_exp.py bench V0|V1
 """
-import sys, time, functools
+import os, sys, time, functools
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +64,12 @@ def _f1600_v1(lo, hi):
 
 def install(variant):
     if variant == "V1":
+        # Override BOTH dispatch targets: keccak.shake routes to
+        # _f1600_soa_loop on the cpu backend and _f1600_soa elsewhere, so
+        # patching only the latter would make the CPU exactness check
+        # silently run V0 (the shipped round) under the V1 label.
         K._f1600_soa = _f1600_v1
+        K._f1600_soa_loop = _f1600_v1
 
 
 def check():
@@ -70,10 +77,10 @@ def check():
     rng = np.random.default_rng(0)
     msgs = rng.integers(0, 256, size=(256, 66), dtype=np.uint8)
     for variant in ("V0", "V1"):
-        orig = K._f1600_soa
+        orig = (K._f1600_soa, K._f1600_soa_loop)
         install(variant)
         out = np.asarray(K.shake256(jnp.asarray(msgs), 640))
-        K._f1600_soa = orig
+        K._f1600_soa, K._f1600_soa_loop = orig
         ref = np.stack([
             np.frombuffer(hashlib.shake_256(m.tobytes()).digest(640), dtype=np.uint8)
             for m in msgs
