@@ -122,8 +122,24 @@ def keygen(level: int, seeds: Sequence[Bytes]) -> Tuple[list, list]:
     return [bytes(r) for r in pk], [bytes(r) for r in sk]
 
 
-def sign(level: int, sk: Bytes, messages: Sequence[Bytes]) -> list:
-    """Sign a batch of messages under one secret key. Returns signatures."""
+def _fresh_rhoprime(n: int):
+    """n uniformly random 64-byte rhoprime rows (randomized signing)."""
+    import os as _os
+    buf = _os.urandom(n * CRHBYTES)
+    return jnp.asarray(
+        np.frombuffer(buf, dtype=np.uint8).reshape(n, CRHBYTES)
+    )
+
+
+def sign(level: int, sk: Bytes, messages: Sequence[Bytes],
+         randomized: bool = False) -> list:
+    """Sign a batch of messages under one secret key. Returns signatures.
+
+    randomized=True uses the round-3 spec's randomized variant (rhoprime
+    drawn from os.urandom instead of CRH(K || mu)) — the standard
+    fault-attack countermeasure; signatures still verify identically but
+    are no longer a deterministic function of (sk, message).
+    """
     p = get_params(level)
     sk_b = bytes(sk)
     if len(sk_b) != p.sk_bytes:
@@ -134,7 +150,8 @@ def sign(level: int, sk: Bytes, messages: Sequence[Bytes]) -> list:
     )
     sk_arr = jnp.asarray(np.frombuffer(sk_b, dtype=np.uint8))
     sk_rep = jnp.broadcast_to(sk_arr, (len(messages), p.sk_bytes))
-    res = scheme.sign(sk_rep, jnp.asarray(mus), p)
+    rp = _fresh_rhoprime(len(messages)) if randomized else None
+    res = scheme.sign(sk_rep, jnp.asarray(mus), p, rhoprime=rp)
     if not bool(np.asarray(res.ok).all()):
         raise RuntimeError("sign did not converge within max_rounds")
     return [bytes(r) for r in np.asarray(res.sig)]
@@ -237,16 +254,21 @@ class Signer:
                 if cache_path:
                     _save_expansion(cache_path, self.expanded, meta)
 
-    def sign(self, messages: Sequence[Bytes]) -> list:
+    def sign(self, messages: Sequence[Bytes], randomized: bool = False) -> list:
+        """randomized=True: spec randomized variant (see api.sign)."""
         mus = np.stack(
             [np.frombuffer(compute_mu(self.tr, m), dtype=np.uint8) for m in messages]
         )
+        rp = _fresh_rhoprime(len(messages)) if randomized else None
         if self.mode == "mxu":
             res = self._mxu.sign_stream_mxu(
-                self.operators, jnp.asarray(mus), self.p, window=self.window
+                self.operators, jnp.asarray(mus), self.p, window=self.window,
+                rhoprime=rp,
             )
         else:
-            res = scheme.sign_expanded(self.expanded, jnp.asarray(mus), self.p)
+            res = scheme.sign_expanded(
+                self.expanded, jnp.asarray(mus), self.p, rhoprime=rp
+            )
         if not bool(np.asarray(res.ok).all()):
             raise RuntimeError("sign did not converge within max_rounds")
         return [bytes(r) for r in np.asarray(res.sig)]

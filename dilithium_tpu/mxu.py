@@ -251,17 +251,21 @@ def sign_stream_mxu(
     p: DilithiumParams,
     window: int = 768,
     max_rounds: int = 8192,
+    rhoprime: jnp.ndarray | None = None,
 ) -> scheme.SignResult:
     """Elastic-scheduler stream signer over the MXU operators — same loop
     as `scheme.sign_stream` (shared `_stream_loop`), with the attempt body
-    running on dense int8 matmuls instead of the NTT pipeline."""
+    running on dense int8 matmuls instead of the NTT pipeline. Pass
+    uniformly random `rhoprime` uint8 [Q, 64] for randomized signing
+    (`scheme.sign` docstring, docs/SECURITY.md)."""
     Q_ = mu.shape[0]
     W = min(window, Q_)
 
-    key_b = jnp.broadcast_to(ops.key, (Q_,) + ops.key.shape)
-    rhoprime = keccak.shake256(
-        jnp.concatenate([key_b.astype(_U8), mu.astype(_U8)], axis=-1), CRHBYTES
-    )
+    if rhoprime is None:
+        key_b = jnp.broadcast_to(ops.key, (Q_,) + ops.key.shape)
+        rhoprime = keccak.shake256(
+            jnp.concatenate([key_b.astype(_U8), mu.astype(_U8)], axis=-1), CRHBYTES
+        )
 
     def attempt(mu_s, rp_s, kappa_s):
         return _sign_attempt_mxu(ops, mu_s, rp_s, kappa_s, p)

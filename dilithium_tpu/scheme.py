@@ -164,8 +164,14 @@ def sign(
     p: DilithiumParams,
     attempts_per_round: int = 4,
     max_rounds: int = 64,
+    rhoprime: jnp.ndarray | None = None,
 ) -> SignResult:
-    """Deterministic Dilithium sign. sk uint8 [..., sk_bytes], mu [..., 64].
+    """Dilithium sign. sk uint8 [..., sk_bytes], mu [..., 64].
+
+    Deterministic by default (rhoprime = CRH(K || mu), the reference's
+    only mode — `expandmask_ext.v:160-165`); pass uniformly random
+    `rhoprime` uint8 [..., 64] for the round-3 spec's RANDOMIZED variant
+    (the standard fault-attack countermeasure, docs/SECURITY.md).
 
     The rejection loop runs `attempts_per_round` candidate nonces per lane
     per `lax.while_loop` iteration (vectorized as an extra batch axis) and
@@ -176,7 +182,7 @@ def sign(
     """
     ek = expand_sk(sk, p)
     return sign_expanded(ek, mu, p, attempts_per_round=attempts_per_round,
-                         max_rounds=max_rounds)
+                         max_rounds=max_rounds, rhoprime=rhoprime)
 
 
 @partial(jax.jit, static_argnames=("p", "attempts_per_round", "max_rounds"))
@@ -186,8 +192,9 @@ def sign_expanded(
     p: DilithiumParams,
     attempts_per_round: int = 4,
     max_rounds: int = 64,
+    rhoprime: jnp.ndarray | None = None,
 ) -> SignResult:
-    """Sign with a precomputed ExpandedKey (see `expand_sk`)."""
+    """Sign with a precomputed ExpandedKey (see `expand_sk`/`sign`)."""
     a_hat, s1_hat, s2_hat, t0_hat, key = (
         ek.a_hat, ek.s1_hat, ek.s2_hat, ek.t0_hat, ek.key,
     )
@@ -204,9 +211,12 @@ def sign_expanded(
     t0_hat = bcast(t0_hat, 2)
     key = bcast(key, 1)
 
-    rhoprime = keccak.shake256(
-        jnp.concatenate([key.astype(_U8), mu.astype(_U8)], axis=-1), CRHBYTES
-    )
+    if rhoprime is None:
+        rhoprime = keccak.shake256(
+            jnp.concatenate([key.astype(_U8), mu.astype(_U8)], axis=-1), CRHBYTES
+        )
+    else:
+        rhoprime = jnp.broadcast_to(rhoprime, batch + (CRHBYTES,))
 
     # broadcast per-key data over the attempts axis: [..., A, ...]
     def rep(x):
@@ -291,6 +301,7 @@ def sign_stream(
     p: DilithiumParams,
     window: int = 768,
     max_rounds: int = 4096,
+    rhoprime: jnp.ndarray | None = None,
 ) -> SignResult:
     """Throughput-optimal signing of a queue of messages under ONE key.
 
@@ -318,10 +329,11 @@ def sign_stream(
     Q = mu.shape[0]
     W = min(window, Q)
 
-    key_b = jnp.broadcast_to(ek.key, (Q,) + ek.key.shape)
-    rhoprime = keccak.shake256(
-        jnp.concatenate([key_b.astype(_U8), mu.astype(_U8)], axis=-1), CRHBYTES
-    )  # [Q, 64]
+    if rhoprime is None:  # deterministic mode; see `sign` for randomized
+        key_b = jnp.broadcast_to(ek.key, (Q,) + ek.key.shape)
+        rhoprime = keccak.shake256(
+            jnp.concatenate([key_b.astype(_U8), mu.astype(_U8)], axis=-1), CRHBYTES
+        )  # [Q, 64]
 
     def bcast(x):
         return jnp.broadcast_to(x, (W,) + x.shape)

@@ -121,3 +121,32 @@ def test_compute_mu_batch_matches_host():
     dev = np.asarray(api.compute_mu_batch(jnp.asarray(tr), jnp.asarray(msgs)))
     for i in range(5):
         assert bytes(dev[i]) == api.compute_mu(tr.tobytes(), msgs[i].tobytes())
+
+
+def test_randomized_signing(kat2):
+    """randomized=True: signatures differ from deterministic (and between
+    draws) but still verify — the round-3 spec's randomized variant
+    (uniform rhoprime instead of CRH(K || mu))."""
+    k = kat2
+    pks, sks = api.keygen(LEVEL, k["z"][:1])
+    msgs = [k["m"][0], b"fault-countermeasure test"]
+    det = api.sign(LEVEL, sks[0], msgs)
+    assert api.sign(LEVEL, sks[0], msgs) == det  # deterministic repeats
+    r1 = api.sign(LEVEL, sks[0], msgs, randomized=True)
+    r2 = api.sign(LEVEL, sks[0], msgs, randomized=True)
+    assert r1 != det and r2 != det and r1 != r2  # P[collision] ~ 2^-512
+    for sigs in (r1, r2):
+        assert api.verify(LEVEL, pks[0], list(zip(msgs, sigs))) == [True, True]
+
+
+def test_randomized_signer_service(kat2):
+    k = kat2
+    pks, sks = api.keygen(LEVEL, k["z"][:1])
+    msgs = [b"m1", b"m2", b"m3"]
+    for mode in ("batch", "mxu"):
+        s = api.Signer(LEVEL, sks[0], mode=mode, window=2)
+        det = s.sign(msgs)
+        rnd = s.sign(msgs, randomized=True)
+        assert rnd != det
+        v = api.Verifier(LEVEL, pks[0], mode=mode)
+        assert v.verify(list(zip(msgs, rnd))) == [True, True, True]

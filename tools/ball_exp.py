@@ -10,6 +10,11 @@ V1: c held as TWO bit-planes [8, 128] (nz = nonzero mask, sg = sign mask,
     8-row onehot bit extract/insert with per-lane variable shifts (~20
     vreg-ops per step), and c materializes to [256, 128] once at the end.
 
+RESULT (2026-08-20, v5e-1, B=16384, level 3): a WASH — V0 90.5/93.8
+ns/msg vs V1 89.1/94.6 interleaved. The kernel is not bound by the swap
+phase's vector-op count; V0 stays shipped. Kept for re-evaluation if the
+ball kernel ever becomes the bottleneck (e.g. much larger tau).
+
 Usage:
   CPU exactness:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/ball_exp.py check
   TPU timing:     python tools/ball_exp.py bench V0|V1
