@@ -44,6 +44,9 @@ def main(argv=None) -> int:
     sg.add_argument("--sk", required=True, help="secret-key file")
     sg.add_argument("--out-suffix", default=".sig",
                     help="signature written to <message><suffix> (default .sig)")
+    sg.add_argument("--randomized", action="store_true",
+                    help="randomized signing (uniform rhoprime; fault-attack "
+                         "countermeasure) instead of the deterministic default")
     sg.add_argument("messages", nargs="+", help="message files")
 
     vy = sub.add_parser("verify", help="verify signatures over message files")
@@ -73,7 +76,8 @@ def main(argv=None) -> int:
 
     if args.cmd == "sign":
         msgs = [_read(m) for m in args.messages]
-        sigs = api.sign(args.level, _read(args.sk), msgs)
+        sigs = api.sign(args.level, _read(args.sk), msgs,
+                        randomized=args.randomized)
         for m, s in zip(args.messages, sigs):
             _write(m + args.out_suffix, s)
         print(f"signed {len(sigs)} message(s)")

@@ -53,3 +53,24 @@ def test_cli_roundtrip(tmp_path):
     seed.write_bytes(b"short")
     r = run("--level", "2", "keygen", "--seed", str(seed), "--pk", pk, "--sk", sk)
     assert r.returncode == 2
+
+
+def test_cli_randomized_sign(tmp_path):
+    pk, sk = str(tmp_path / "key.pk"), str(tmp_path / "key.sk")
+    seed = tmp_path / "seed.bin"
+    seed.write_bytes(bytes(range(32)))
+    r = run("--level", "2", "keygen", "--seed", str(seed), "--pk", pk, "--sk", sk)
+    assert r.returncode == 0, r.stderr
+
+    m = tmp_path / "msg.txt"
+    m.write_bytes(b"randomize me")
+    r = run("--level", "2", "sign", "--sk", sk, "--randomized", str(m))
+    assert r.returncode == 0, r.stderr
+    sig1 = (tmp_path / "msg.txt.sig").read_bytes()
+    r = run("--level", "2", "sign", "--sk", sk, "--randomized", str(m))
+    assert r.returncode == 0, r.stderr
+    sig2 = (tmp_path / "msg.txt.sig").read_bytes()
+    assert sig1 != sig2  # fresh coins per invocation
+
+    r = run("--level", "2", "verify", "--pk", pk, str(m))
+    assert r.returncode == 0, r.stdout + r.stderr
