@@ -98,9 +98,12 @@ def main():
         sig0 = res0.sig
 
         def run(mu):
+            # the verified corpus (sig0, mu_s) is fixed and all-accept;
+            # jit does not memoize executions, so identical inputs re-run
+            # the full computation each call (`mu` is unused — the timed
+            # loop passes a fixed device array to avoid charging host RNG
+            # + transfer of inputs this mode never reads)
             ok = mxu_mod.verify_mxu(vops, sig0, mu_s, p)
-            # mu varies per iter only to defeat caching of the hash input;
-            # the verified corpus (sig0, mu_s) is fixed and all-accept
             return ok, ok, ok
     elif mode == "mxu":
         # one key, dense MXU operators (composite y->w matrix + conv mats)
@@ -165,7 +168,10 @@ def main():
     # per-block sync costs ~30 ms tunnel RTT outside the amortized loop
     # (~0.5% of a block at default sizes).
     blocks = 3
-    per_block = max(1, iters // blocks)
+    # ceil: DILITHIUM_BENCH_ITERS is a floor on total timed iterations
+    # (the degradation guard below may add whole extra blocks beyond it)
+    per_block = max(1, -(-iters // blocks))
+    fresh_input = mode != "verify"  # verify times a fixed corpus
     # untimed warmup beyond the compile run: the first ~2-3 post-compile
     # iterations consistently run 20-30% slow (observed ramp on the
     # tunneled chip), which would handicap block 1
@@ -176,10 +182,13 @@ def main():
     sync(sig)
 
     def timed_block():
-        mus = [
-            jnp.asarray(rng.integers(0, 256, size=(batch, 64), dtype=np.uint8))
-            for _ in range(per_block)
-        ]
+        if fresh_input:
+            mus = [
+                jnp.asarray(rng.integers(0, 256, size=(batch, 64), dtype=np.uint8))
+                for _ in range(per_block)
+            ]
+        else:
+            mus = [mu0] * per_block  # run() ignores its arg in verify mode
         t0 = time.time()
         for mu in mus:
             s, _, _ = run(mu)

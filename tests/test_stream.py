@@ -60,3 +60,21 @@ def test_stream_signatures_verify(ctx):
     pk = jnp.broadcast_to(kp.pk, (12,) + kp.pk.shape)
     ok = scheme.verify(pk, res.sig, mus, p)
     assert np.asarray(ok).all()
+
+
+def test_shared_rhoprime_rejected(ctx):
+    """A rhoprime that would broadcast across messages must be rejected:
+    two messages accepting at the same kappa under one rhoprime leak
+    s1 = (z1 - z2)/(c1 - c2) — classic nonce reuse."""
+    p, kp, ek, mus, _ = ctx
+    shared = jnp.zeros((64,), dtype=jnp.uint8)
+    with pytest.raises(ValueError, match="rhoprime"):
+        scheme.sign_expanded(ek, mus, p, rhoprime=shared)
+    with pytest.raises(ValueError, match="rhoprime"):
+        scheme.sign_stream(ek, mus, p, window=3, rhoprime=shared[None, :])
+    # correctly-shaped per-message rhoprime is accepted and verifies
+    rp = jnp.asarray(RNG.integers(0, 256, size=mus.shape, dtype=np.uint8))
+    res = scheme.sign_stream(ek, mus, p, window=12, max_rounds=1024, rhoprime=rp)
+    assert np.asarray(res.ok).all()
+    pk = jnp.broadcast_to(kp.pk, (mus.shape[0],) + kp.pk.shape)
+    assert np.asarray(scheme.verify(pk, res.sig, mus, p)).all()

@@ -5,7 +5,7 @@
 # First run of a new (level, window) pays a fresh stream-graph compile
 # (~5-10 min through the remote compile helper; cached afterwards).
 level=${1:-3}
-shift 2>/dev/null
+[ $# -gt 0 ] && shift
 windows=${*:-"512 768 1024 1536"}
 for w in $windows; do
   echo "=== level $level window $w ==="
