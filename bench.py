@@ -14,9 +14,9 @@ Runs on the default JAX backend (the real TPU chip under the driver).
 Extra diagnostics go to stderr; stdout carries only the JSON line.
 
 Default mode is "mxu" (dense per-key int8 operators on the systolic
-array + elastic attempt scheduler): measured ~131k signs/sec vs ~46k
-for the generic-NTT "stream" mode and ~34k for lockstep "batch" mode on
-the same chip/batch (2026-08-17, v5e-1, batch 16384, window 4096).
+array + elastic attempt scheduler): measured ~180k signs/sec (2026-08-20,
+v5e-1, batch 16384, window 768) vs ~46k for the generic-NTT "stream"
+mode and ~34k for lockstep "batch" mode on the same chip/batch.
 Default 21 timed iterations in 3 blocks of 7, median block reported: at
 5 iterations the queue-drain warmup and tunnel dispatch jitter
 under-report throughput by ~20%, and a single timing window is not

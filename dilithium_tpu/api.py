@@ -200,7 +200,7 @@ class Signer:
     mode:
       "mxu"    — dense per-key int8 operators on the systolic array +
                  elastic stream scheduler (`mxu.sign_stream_mxu`): fastest
-                 (~131k Dilithium-3 signs/sec on v5e-1 at batch 16k), but
+                 (~180k Dilithium-3 signs/sec on v5e-1 at batch 16k), but
                  each distinct batch length compiles its own stream graph.
       "batch"  — lockstep `scheme.sign_expanded`: portable and
                  compile-cheap; right for CPU and small/ragged batches.
