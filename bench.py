@@ -178,6 +178,7 @@ def main():
     for _ in range(2):
         sig, ok, att = run(
             jnp.asarray(rng.integers(0, 256, size=(batch, 64), dtype=np.uint8))
+            if fresh_input else mu0
         )
     sync(sig)
 
@@ -213,7 +214,7 @@ def main():
            and len(rates) < 9):
         time.sleep(2.0)
         rates.append(timed_block())
-    value = sorted(rates)[-3:][1]
+    value = sorted(rates)[-2]  # median of the top 3 = second-largest
     log(f"blocks: {[round(r) for r in sorted(rates)]} -> reported {value:.1f}")
 
     op = "verify" if mode == "verify" else "sign"

@@ -16,6 +16,7 @@ of the FPGA keeping Â resident in BRAM0 across sign invocations.
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -124,8 +125,7 @@ def keygen(level: int, seeds: Sequence[Bytes]) -> Tuple[list, list]:
 
 def _fresh_rhoprime(n: int):
     """n uniformly random 64-byte rhoprime rows (randomized signing)."""
-    import os as _os
-    buf = _os.urandom(n * CRHBYTES)
+    buf = os.urandom(n * CRHBYTES)
     return jnp.asarray(
         np.frombuffer(buf, dtype=np.uint8).reshape(n, CRHBYTES)
     )

@@ -266,12 +266,8 @@ def sign_stream_mxu(
         rhoprime = keccak.shake256(
             jnp.concatenate([key_b.astype(_U8), mu.astype(_U8)], axis=-1), CRHBYTES
         )
-    elif rhoprime.shape != mu.shape:
-        # per-message only — a shared rhoprime is nonce reuse (see
-        # `scheme.sign_expanded`)
-        raise ValueError(
-            f"rhoprime must be shape {mu.shape}; got {rhoprime.shape}"
-        )
+    else:
+        scheme.validate_rhoprime(rhoprime, mu.shape)
 
     def attempt(mu_s, rp_s, kappa_s):
         return _sign_attempt_mxu(ops, mu_s, rp_s, kappa_s, p)

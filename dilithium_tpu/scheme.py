@@ -84,6 +84,22 @@ class SignResult(NamedTuple):
     ok: jnp.ndarray         # bool [...]: signature found within max_attempts
 
 
+def validate_rhoprime(rhoprime: jnp.ndarray, expected_shape: Tuple[int, ...]) -> None:
+    """Reject a rhoprime that is not exactly per-message shaped.
+
+    NEVER broadcast a shared rhoprime across messages: y depends only on
+    (rhoprime, kappa), so two messages accepting at the same kappa under
+    one rhoprime leak s1 = (z1 - z2)/(c1 - c2) — full key recovery from
+    two published signatures (classic nonce reuse). Trace-time check,
+    shared by every signer that accepts a rhoprime override.
+    """
+    if rhoprime.shape != expected_shape:
+        raise ValueError(
+            f"rhoprime must be per-message, shape {expected_shape}; "
+            f"got {rhoprime.shape}"
+        )
+
+
 class ExpandedKey(NamedTuple):
     """NTT-domain secret-key expansion, cacheable across sign calls.
 
@@ -215,15 +231,8 @@ def sign_expanded(
         rhoprime = keccak.shake256(
             jnp.concatenate([key.astype(_U8), mu.astype(_U8)], axis=-1), CRHBYTES
         )
-    elif rhoprime.shape != batch + (CRHBYTES,):
-        # NEVER broadcast a shared rhoprime across messages: y depends only
-        # on (rhoprime, kappa), so two messages accepting at the same kappa
-        # under one rhoprime leak s1 = (z1 - z2)/(c1 - c2) — full key
-        # recovery from two published signatures (classic nonce reuse).
-        raise ValueError(
-            f"rhoprime must be per-message, shape {batch + (CRHBYTES,)}; "
-            f"got {rhoprime.shape}"
-        )
+    else:
+        validate_rhoprime(rhoprime, batch + (CRHBYTES,))
 
     # broadcast per-key data over the attempts axis: [..., A, ...]
     def rep(x):
@@ -341,13 +350,8 @@ def sign_stream(
         rhoprime = keccak.shake256(
             jnp.concatenate([key_b.astype(_U8), mu.astype(_U8)], axis=-1), CRHBYTES
         )  # [Q, 64]
-    elif rhoprime.shape != mu.shape:
-        # per-message only — a shared rhoprime is nonce reuse (see
-        # `sign_expanded`); a [1, 64] row would silently replicate via the
-        # scheduler's row gathers
-        raise ValueError(
-            f"rhoprime must be shape {mu.shape}; got {rhoprime.shape}"
-        )
+    else:
+        validate_rhoprime(rhoprime, mu.shape)
 
     def bcast(x):
         return jnp.broadcast_to(x, (W,) + x.shape)
