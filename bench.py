@@ -15,8 +15,9 @@ Extra diagnostics go to stderr; stdout carries only the JSON line.
 
 Default mode is "mxu" (dense per-key int8 operators on the systolic
 array + elastic attempt scheduler): measured ~180k signs/sec (2026-08-20,
-v5e-1, batch 16384, window 768) vs ~46k for the generic-NTT "stream"
-mode and ~34k for lockstep "batch" mode on the same chip/batch.
+v5e-1, batch 16384, window 768) vs ~92k for the generic-NTT "stream"
+mode (same date; the path batched independent keys also take) and ~34k
+for lockstep "batch" mode on the same chip/batch.
 Default 21 timed iterations in 3 blocks of 7, median block reported: at
 5 iterations the queue-drain warmup and tunnel dispatch jitter
 under-report throughput by ~20%, and a single timing window is not
