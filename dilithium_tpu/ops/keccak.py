@@ -242,7 +242,7 @@ def _lanes_bytes(lo: Sequence[jnp.ndarray], hi: Sequence[jnp.ndarray]) -> jnp.nd
     return jnp.stack(parts, axis=-1)
 
 
-def _absorb(data: jnp.ndarray, rate: int):
+def _absorb(data: jnp.ndarray, rate: int, domain: int = 0x1F):
     """Fold the batch, pad10*1, absorb all blocks. Returns the state as
     (lo, hi) plane lists plus the unfold metadata and the permute fn."""
     msg_len = data.shape[-1]
@@ -251,9 +251,9 @@ def _absorb(data: jnp.ndarray, rate: int):
 
     folded, batch_shape, b = _fold_batch(data.astype(jnp.uint8))
 
-    # pad10*1 with SHAKE domain byte 0x1F
+    # pad10*1: domain byte 0x1F (SHAKE) or 0x06 (SHA3 fixed-output modes)
     pad = jnp.zeros(folded.shape[:-1] + (padded_len - msg_len,), dtype=jnp.uint8)
-    pad = pad.at[..., 0].set(0x1F)
+    pad = pad.at[..., 0].set(domain)
     pad = pad.at[..., -1].set(pad[..., -1] | 0x80)
     padded = jnp.concatenate([folded, pad], axis=-1)
 
@@ -278,7 +278,9 @@ def _absorb(data: jnp.ndarray, rate: int):
     return lo, hi, permute, batch_shape, b
 
 
-def _shake_words_fused(data: jnp.ndarray, out_words: int, rate: int) -> jnp.ndarray:
+def _shake_words_fused(
+    data: jnp.ndarray, out_words: int, rate: int, domain: int = 0x1F
+) -> jnp.ndarray:
     """Fused-kernel SHAKE: one pallas_call for absorb + all squeezes.
 
     Same contract as `shake_words`. The per-block plane packing (bytes ->
@@ -294,7 +296,7 @@ def _shake_words_fused(data: jnp.ndarray, out_words: int, rate: int) -> jnp.ndar
 
     folded, batch_shape, b = _fold_batch(data.astype(jnp.uint8))
     pad = jnp.zeros(folded.shape[:-1] + (padded_len - msg_len,), dtype=jnp.uint8)
-    pad = pad.at[..., 0].set(0x1F)
+    pad = pad.at[..., 0].set(domain)
     pad = pad.at[..., -1].set(pad[..., -1] | 0x80)
     padded = jnp.concatenate([folded, pad], axis=-1)
 
@@ -311,20 +313,21 @@ def _shake_words_fused(data: jnp.ndarray, out_words: int, rate: int) -> jnp.ndar
     return _unfold_batch(jnp.moveaxis(out, 0, -1), batch_shape, b)
 
 
-def shake(data: jnp.ndarray, out_bytes: int, rate: int) -> jnp.ndarray:
-    """SHAKE XOF over a batch of fixed-length messages.
+def shake(data: jnp.ndarray, out_bytes: int, rate: int, domain: int = 0x1F) -> jnp.ndarray:
+    """Sponge hash over a batch of fixed-length messages.
 
     data: uint8 [..., msg_len]; returns uint8 [..., out_bytes].
-    rate: 168 for SHAKE128, 136 for SHAKE256.
+    rate: 168 for SHAKE128, 136 for SHAKE256 (domain 0x1F); the SHA3
+    fixed-output modes use domain 0x06 (see `sha3_256` / `sha3_512`).
     """
     if _use_pallas():
         out_words = -(-out_bytes // 4)
-        words = _shake_words_fused(data, out_words, rate)
+        words = _shake_words_fused(data, out_words, rate, domain)
         by = (
             words[..., None] >> (jnp.arange(4, dtype=_U32) * 8)
         ).astype(jnp.uint8)
         return by.reshape(words.shape[:-1] + (out_words * 4,))[..., :out_bytes]
-    lo, hi, permute, batch_shape, b = _absorb(data, rate)
+    lo, hi, permute, batch_shape, b = _absorb(data, rate, domain)
     rate_w = rate // 8
     nblocks_out = -(-out_bytes // rate)
     outs = []
@@ -360,6 +363,25 @@ def shake_words(data: jnp.ndarray, out_words: int, rate: int) -> jnp.ndarray:
             lo, hi = permute(lo, hi)
     out = jnp.stack(words[:out_words], axis=-1)
     return _unfold_batch(out, batch_shape, b)
+
+
+# Fixed-output SHA3 rates: rate = 200 - 2*digest_len (FIPS-202 §5.1).
+# The reference Keccak core is a 4-mode engine — header bits 62:61 select
+# SHA3-256 / SHA3-512 / SHAKE128 / SHAKE256 (`keccak_datapath.vhd:92-131`);
+# Dilithium itself uses only the SHAKE modes, these two close the
+# capability-parity gap of the subsystem.
+SHA3_256_RATE = 136
+SHA3_512_RATE = 72
+
+
+def sha3_256(data: jnp.ndarray) -> jnp.ndarray:
+    """SHA3-256 over a batch: uint8 [..., msg_len] -> uint8 [..., 32]."""
+    return shake(data, 32, SHA3_256_RATE, domain=0x06)
+
+
+def sha3_512(data: jnp.ndarray) -> jnp.ndarray:
+    """SHA3-512 over a batch: uint8 [..., msg_len] -> uint8 [..., 64]."""
+    return shake(data, 64, SHA3_512_RATE, domain=0x06)
 
 
 def shake128(data: jnp.ndarray, out_bytes: int) -> jnp.ndarray:

@@ -32,6 +32,21 @@ def test_shake_matches_hashlib(msg_len, out_bytes, fn, href):
         np.testing.assert_array_equal(got[i], exp, err_msg=f"lane {i}")
 
 
+@pytest.mark.parametrize("msg_len", [0, 1, 32, 71, 72, 73, 135, 136, 137, 300])
+@pytest.mark.parametrize("fn,href", [
+    (keccak.sha3_256, hashlib.sha3_256),
+    (keccak.sha3_512, hashlib.sha3_512),
+])
+def test_sha3_matches_hashlib(msg_len, fn, href):
+    """SHA3 fixed-output modes (reference core mode bits 00/01,
+    `keccak_datapath.vhd:92-131`) vs hashlib."""
+    msgs = RNG.integers(0, 256, size=(3, msg_len), dtype=np.uint8)
+    got = np.asarray(fn(jnp.asarray(msgs)))
+    for i in range(3):
+        exp = np.frombuffer(href(msgs[i].tobytes()).digest(), dtype=np.uint8)
+        np.testing.assert_array_equal(got[i], exp, err_msg=f"lane {i}")
+
+
 def test_keccak_f1600_zero_state():
     """Permutation of the zero state — classic known-answer vector."""
     st = jnp.zeros((25, 2), dtype=jnp.uint32)
