@@ -119,6 +119,23 @@ def main():
         def run(mu):
             res = mxu_mod.sign_stream_mxu(ops_, mu, p, window=window, max_rounds=8192)
             return res.sig, res.ok, res.attempts
+    elif mode == "keys":
+        # independent-keys elastic signer: N distinct keys x `batch`
+        # messages, per-slot key-material gather (scheme.sign_stream_keys)
+        nkeys = int(os.environ.get("DILITHIUM_BENCH_NKEYS", "256"))
+        seeds = jnp.asarray(rng.integers(0, 256, size=(nkeys, 32), dtype=np.uint8))
+        t0 = time.time()
+        kp = scheme.keygen(seeds, p)
+        eks = scheme.expand_sk(kp.sk, p)
+        sync(eks.a_hat)
+        log(f"keygen+expand({nkeys} keys) compile+run: {time.time() - t0:.1f}s")
+        key_idx = jnp.asarray(rng.integers(0, nkeys, size=(batch,)).astype(np.int32))
+
+        def run(mu):
+            res = scheme.sign_stream_keys(
+                eks, key_idx, mu, p, window=window, max_rounds=8192
+            )
+            return res.sig, res.ok, res.attempts
     elif mode == "stream":
         # one key signing a queue of `batch` messages (service workload):
         # refill window keeps every lane busy — no lockstep waste
@@ -224,6 +241,10 @@ def main():
         "value": round(value, 1),
         "unit": f"{op}s/sec" if op == "sign" else "verifies/sec",
         "vs_baseline": round(value / BASELINE_SIGNS_PER_SEC, 3),
+        # audit trail for the selection statistic (ADVICE r3): every block
+        # rate, in measurement order, so the consumer can see the spread
+        # and recompute any other statistic
+        "blocks": [round(r, 1) for r in rates],
     }))
 
 

@@ -269,7 +269,8 @@ def sign_stream_mxu(
     else:
         scheme.validate_rhoprime(rhoprime, mu.shape)
 
-    def attempt(mu_s, rp_s, kappa_s):
+    def attempt(mu_s, rp_s, kappa_s, q_s):
+        del q_s  # one key: operators are slot-invariant
         return _sign_attempt_mxu(ops, mu_s, rp_s, kappa_s, p)
 
     return scheme._stream_loop(attempt, mu, rhoprime, p, W, max_rounds)

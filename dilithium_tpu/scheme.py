@@ -98,6 +98,11 @@ def validate_rhoprime(rhoprime: jnp.ndarray, expected_shape: Tuple[int, ...]) ->
             f"rhoprime must be per-message, shape {expected_shape}; "
             f"got {rhoprime.shape}"
         )
+    if rhoprime.dtype != jnp.uint8:
+        raise ValueError(
+            f"rhoprime must be uint8 bytes; got dtype {rhoprime.dtype} "
+            "(a wider dtype would be silently truncated downstream)"
+        )
 
 
 class ExpandedKey(NamedTuple):
@@ -361,7 +366,62 @@ def sign_stream(
     s2_hat = bcast(ek.s2_hat)
     t0_hat = bcast(ek.t0_hat)
 
-    def attempt(mu_s, rp_s, kappa_s):
+    def attempt(mu_s, rp_s, kappa_s, q_s):
+        del q_s  # one key: material is slot-invariant
+        return _sign_attempt(
+            a_hat, s1_hat, s2_hat, t0_hat, mu_s, rp_s, kappa_s, p
+        )
+
+    return _stream_loop(attempt, mu, rhoprime, p, W, max_rounds)
+
+
+@partial(jax.jit, static_argnames=("p", "window", "max_rounds"))
+def sign_stream_keys(
+    eks: ExpandedKey,
+    key_idx: jnp.ndarray,
+    mu: jnp.ndarray,
+    p: DilithiumParams,
+    window: int = 768,
+    max_rounds: int = 8192,
+    rhoprime: jnp.ndarray | None = None,
+) -> SignResult:
+    """Elastic stream signing of a message queue under MANY keys.
+
+    The independent-keys counterpart of `sign_stream`: batched many-keys
+    signing previously had only the lockstep `sign`, which pays ~max-of-B
+    geometric attempts per batch; here each attempt slot gathers ITS
+    message's key material by row, so distinct keys mix freely in one
+    elastic window and per-message results stay bit-identical to
+    `scheme.sign` (the reference analog: `combined_top.v` accepts a
+    freshly streamed key on every sign invocation, `tb_sign_top.v:171-283`).
+
+    eks: ExpandedKey with a leading key axis [Nk, ...] (stack `expand_sk`
+    outputs, or call `expand_sk` on a batched sk). key_idx: int32 [Q]
+    mapping each message to its key row. mu: uint8 [Q, 64].
+
+    The per-round cost over `sign_stream` is the W-row gather of key
+    material (~47 KB/slot at level 3) — HBM-bandwidth bound, small against
+    the attempt compute.
+    """
+    Q = mu.shape[0]
+    W = min(window, Q)
+    if key_idx.shape != (Q,):
+        raise ValueError(f"key_idx must have shape ({Q},); got {key_idx.shape}")
+
+    if rhoprime is None:  # deterministic mode; see `sign` for randomized
+        key_b = jnp.take(eks.key, key_idx, axis=0)  # [Q, 32]
+        rhoprime = keccak.shake256(
+            jnp.concatenate([key_b.astype(_U8), mu.astype(_U8)], axis=-1), CRHBYTES
+        )  # [Q, 64]
+    else:
+        validate_rhoprime(rhoprime, mu.shape)
+
+    def attempt(mu_s, rp_s, kappa_s, q_s):
+        kidx = jnp.take(key_idx, q_s)  # [W]
+        a_hat = jnp.take(eks.a_hat, kidx, axis=0)
+        s1_hat = jnp.take(eks.s1_hat, kidx, axis=0)
+        s2_hat = jnp.take(eks.s2_hat, kidx, axis=0)
+        t0_hat = jnp.take(eks.t0_hat, kidx, axis=0)
         return _sign_attempt(
             a_hat, s1_hat, s2_hat, t0_hat, mu_s, rp_s, kappa_s, p
         )
@@ -372,7 +432,9 @@ def sign_stream(
 def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
     """Elastic attempt-slot loop shared by the generic and MXU signers.
 
-    attempt_fn(mu_s uint8 [W,64], rp_s uint8 [W,64], kappa_s uint32 [W])
+    attempt_fn(mu_s uint8 [W,64], rp_s uint8 [W,64], kappa_s uint32 [W],
+    q_s int32 [W] clamped queue index per slot — the hook the
+    independent-keys signer uses to gather per-slot key material)
     -> (c_tilde, z, h, accept) per slot.
 
     Committed payloads are APPENDED to a log, not scattered to queue rows:
@@ -448,7 +510,7 @@ def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
         mu_s = jnp.take(mu, safe, axis=0)
         rp_s = jnp.take(rhoprime, safe, axis=0)
 
-        c_tilde, z, h, accept = attempt_fn(mu_s, rp_s, kap_s.astype(_U32))
+        c_tilde, z, h, accept = attempt_fn(mu_s, rp_s, kap_s.astype(_U32), safe)
         accept = accept & (q_s < Q)
 
         # Steady commit also requires the queue to cover every refill this

@@ -62,6 +62,37 @@ def test_stream_signatures_verify(ctx):
     assert np.asarray(ok).all()
 
 
+@pytest.mark.parametrize("window", [5, 12])
+def test_stream_keys_matches_sign(ctx, window):
+    """Independent-keys elastic signer: N distinct keys x M messages must
+    be bit-identical to the lockstep `sign` under the matching per-message
+    sk (the reference streams a fresh key every invocation,
+    `tb_sign_top.v:171-283`)."""
+    p, _, _, mus, _ = ctx
+    nkeys = 3
+    seeds = jnp.asarray(RNG.integers(0, 256, size=(nkeys, 32), dtype=np.uint8))
+    kps = scheme.keygen(seeds, p)
+    eks = scheme.expand_sk(kps.sk, p)  # batched over the key axis
+    key_idx = jnp.asarray(
+        RNG.integers(0, nkeys, size=(mus.shape[0],), dtype=np.int32)
+    )
+    ref = scheme.sign(
+        jnp.take(kps.sk, key_idx, axis=0), mus, p,
+        attempts_per_round=2, max_rounds=64,
+    )
+    res = scheme.sign_stream_keys(
+        eks, key_idx, mus, p, window=window, max_rounds=512
+    )
+    assert np.asarray(res.ok).all()
+    np.testing.assert_array_equal(np.asarray(res.sig), np.asarray(ref.sig))
+    np.testing.assert_array_equal(
+        np.asarray(res.attempts), np.asarray(ref.attempts)
+    )
+    # and the signatures verify under each message's own public key
+    ok = scheme.verify(jnp.take(kps.pk, key_idx, axis=0), res.sig, mus, p)
+    assert np.asarray(ok).all()
+
+
 def test_shared_rhoprime_rejected(ctx):
     """A rhoprime that would broadcast across messages must be rejected:
     two messages accepting at the same kappa under one rhoprime leak
@@ -72,6 +103,11 @@ def test_shared_rhoprime_rejected(ctx):
         scheme.sign_expanded(ek, mus, p, rhoprime=shared)
     with pytest.raises(ValueError, match="rhoprime"):
         scheme.sign_stream(ek, mus, p, window=3, rhoprime=shared[None, :])
+    # wrong dtype must be rejected too, not silently cast (ADVICE r3)
+    with pytest.raises(ValueError, match="uint8"):
+        scheme.sign_stream(
+            ek, mus, p, window=3, rhoprime=jnp.zeros(mus.shape, dtype=jnp.int32)
+        )
     # correctly-shaped per-message rhoprime is accepted and verifies
     rp = jnp.asarray(RNG.integers(0, 256, size=mus.shape, dtype=np.uint8))
     res = scheme.sign_stream(ek, mus, p, window=12, max_rounds=1024, rhoprime=rp)
