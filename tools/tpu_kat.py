@@ -1,0 +1,167 @@
+"""On-device byte-exact KAT replay gate — run on the REAL TPU backend.
+
+The unit/KAT test suite pins byte-exactness on the CPU backend
+(tests/conftest.py forces cpu); this tool closes the artifact-level gap the
+reference testbenches cover (`rtl_tb/tb_sign_top.v:147-283`,
+`tb_keygen_top.v:136-280` replay KATs against the synthesized core, not a
+model of it): it runs keygen + BOTH signers + verify on whatever backend
+`jax.devices()` resolves to (the tunneled TPU chip under the driver) and
+byte-compares every output against `/root/reference/KAT`.
+
+Per level 2/3/5:
+  * keygen(seed) for COUNT KAT seeds — compare rho/K/tr and the packed
+    s1/s2/t0/t1 encodings byte-for-byte;
+  * `scheme.sign` (lockstep batch signer) over all COUNT messages —
+    compare c~ / z / h signature bytes;
+  * `mxu.sign_stream_mxu` (elastic-scheduler MXU signer, the bench path)
+    under KAT key 0, a queue of STREAM_Q copies of its message — every
+    queue row must equal KAT signature 0 (deterministic signing);
+  * `scheme.verify` accepts the KAT signatures and rejects a corrupted one.
+
+Prints one JSON line to stdout ({"kat_tpu": "ok"|"FAIL", ...}); detail to
+stderr. Exit code 0 iff everything matched. Run next to bench.py every
+round; record the JSON as KAT_TPU_r{N}.json.
+
+Env: DILITHIUM_TPU_KAT_COUNT (default 8 vectors/level),
+DILITHIUM_TPU_KAT_STREAM_Q (default 16 queue rows for the stream signer).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    from dilithium_tpu import mxu, params, scheme
+    from dilithium_tpu.ops import pack
+    from dilithium_tpu.utils import kat
+
+    count = int(os.environ.get("DILITHIUM_TPU_KAT_COUNT", "8"))
+    stream_q = int(os.environ.get("DILITHIUM_TPU_KAT_STREAM_Q", "16"))
+    dev = jax.devices()[0]
+    backend = dev.platform
+    log(f"device: {dev} ({backend}), {count} vectors/level, "
+        f"stream queue {stream_q}")
+
+    results = {}
+    failures = []
+
+    def check(level, name, got, exp):
+        got = np.asarray(got)
+        exp = np.asarray(exp)
+        ok = got.shape == exp.shape and np.array_equal(got, exp)
+        results[f"L{level}.{name}"] = bool(ok)
+        if not ok:
+            failures.append(f"L{level}.{name}")
+            n_bad = int((got != exp).sum()) if got.shape == exp.shape else -1
+            log(f"  MISMATCH L{level}.{name}: shapes {got.shape} vs "
+                f"{exp.shape}, {n_bad} differing bytes")
+        return ok
+
+    for level in (2, 3, 5):
+        p = params.get_params(level)
+        k = kat.load_kat(level, count=count)
+        t0 = time.time()
+
+        # --- keygen ---
+        seed = jnp.asarray(kat.stack_u8(k["z"]))
+        kp = scheme.keygen(seed, p)
+        check(level, "keygen.rho", kp.rho, kat.stack_u8(k["rho"]))
+        check(level, "keygen.key", kp.key, kat.stack_u8(k["k"]))
+        check(level, "keygen.tr", kp.tr, kat.stack_u8(k["tr"]))
+        check(level, "keygen.s1",
+              np.asarray(pack.pack_eta(kp.s1, p)).reshape(count, -1),
+              kat.stack_u8(k["s1"]))
+        check(level, "keygen.s2",
+              np.asarray(pack.pack_eta(kp.s2, p)).reshape(count, -1),
+              kat.stack_u8(k["s2"]))
+        check(level, "keygen.t0",
+              np.asarray(pack.pack_t0(kp.t0)).reshape(count, -1),
+              kat.stack_u8(k["t0"]))
+        check(level, "keygen.t1",
+              np.asarray(pack.pack_t1(kp.t1)).reshape(count, -1),
+              kat.stack_u8(k["t1"]))
+        log(f"L{level} keygen checked in {time.time() - t0:.1f}s")
+
+        # --- lockstep batch signer ---
+        t0 = time.time()
+        mus = jnp.asarray(np.stack(
+            [kat.to_u8(kat.crh(tr, m)) for tr, m in zip(k["tr"], k["m"])]
+        ))
+        res = scheme.sign(kp.sk, mus, p)
+        sig = np.asarray(res.sig)
+        nz = p.L * p.polyz_packedbytes
+        all_ok = bool(np.asarray(res.ok).all())
+        results[f"L{level}.sign.ok"] = all_ok
+        if not all_ok:
+            failures.append(f"L{level}.sign.ok")
+        check(level, "sign.c", sig[:, :32], kat.stack_u8(k["c"]))
+        check(level, "sign.z", sig[:, 32:32 + nz], kat.stack_u8(k["zs"]))
+        check(level, "sign.h", sig[:, 32 + nz:], kat.stack_u8(k["h"]))
+        log(f"L{level} lockstep sign checked in {time.time() - t0:.1f}s")
+
+        # --- MXU elastic stream signer (the bench path), KAT key 0 ---
+        t0 = time.time()
+        ops = mxu.build_operators(kp.sk[0], p)
+        mu_q = jnp.broadcast_to(mus[0], (stream_q,) + mus[0].shape)
+        sres = mxu.sign_stream_mxu(
+            ops, mu_q, p, window=min(768, stream_q), max_rounds=4096
+        )
+        s_ok = bool(np.asarray(sres.ok).all())
+        results[f"L{level}.stream_mxu.ok"] = s_ok
+        if not s_ok:
+            failures.append(f"L{level}.stream_mxu.ok")
+        exp_sig = np.concatenate(
+            [kat.to_u8(k["c"][0]), kat.to_u8(k["zs"][0]), kat.to_u8(k["h"][0])]
+        )
+        check(level, "stream_mxu.sig", np.asarray(sres.sig),
+              np.broadcast_to(exp_sig, (stream_q, exp_sig.shape[0])))
+        log(f"L{level} MXU stream sign checked in {time.time() - t0:.1f}s")
+
+        # --- verify: KAT signatures accept, a corrupted byte rejects ---
+        t0 = time.time()
+        sigs = jnp.asarray(np.concatenate(
+            [kat.stack_u8(k["c"]), kat.stack_u8(k["zs"]), kat.stack_u8(k["h"])],
+            axis=1,
+        ))
+        ok = np.asarray(scheme.verify(kp.pk, sigs, mus, p))
+        results[f"L{level}.verify.accept"] = bool(ok.all())
+        if not ok.all():
+            failures.append(f"L{level}.verify.accept")
+        bad = sigs.at[:, 40].set(sigs[:, 40] ^ jnp.uint8(1))
+        ok_bad = np.asarray(scheme.verify(kp.pk, bad, mus, p))
+        results[f"L{level}.verify.reject_corrupted"] = bool(~ok_bad.any())
+        if ok_bad.any():
+            failures.append(f"L{level}.verify.reject_corrupted")
+        log(f"L{level} verify checked in {time.time() - t0:.1f}s")
+
+    status = "ok" if not failures else "FAIL"
+    print(json.dumps({
+        "kat_tpu": status,
+        "backend": backend,
+        "vectors_per_level": count,
+        "stream_queue": stream_q,
+        "checks": len(results),
+        "failed": failures,
+    }))
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
