@@ -346,15 +346,3 @@ def sample_in_ball(
         c = jnp.where(onehot_i, cj[..., None], c)    # c[i] = c[j]
         c = jnp.where(onehot_j, sval[..., None], c)  # c[j] = +-1 (after c[i])
     return c, ok
-
-
-def _set_along_axis(c: jnp.ndarray, idx: jnp.ndarray, val: jnp.ndarray) -> jnp.ndarray:
-    """c[..., idx] = val with idx/val shaped like c's batch dims."""
-    batch = c.shape[:-1]
-    if len(batch) == 0:
-        return c.at[idx].set(val)
-    n = c.shape[-1]
-    flat = jax.vmap(lambda row, i, v: row.at[i].set(v))(
-        c.reshape((-1, n)), idx.reshape((-1,)), val.reshape((-1,))
-    )
-    return flat.reshape(c.shape)

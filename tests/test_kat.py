@@ -3,8 +3,10 @@
 Analog of the reference testbenches (`rtl_tb/tb_{keygen,sign,verify}_top.v`)
 which replay NUM_TV=5 of the 100 shipped vectors per level; here the whole
 selected set runs as ONE batched device call per operation. Set
-DILITHIUM_KAT_COUNT=100 for the full corpus (default 6 keeps CPU CI fast;
-the batch dim only changes runtime, not code paths).
+DILITHIUM_KAT_COUNT=100 for the full corpus (default 25 — compile time
+dominates the run, so more vectors are nearly free; the batch dim only
+changes runtime, not code paths). The 100-vector corpus is run and
+recorded once per round (docs/PERF.md).
 """
 
 import os
@@ -17,7 +19,7 @@ from dilithium_tpu import params, scheme
 from dilithium_tpu.ops import pack
 from dilithium_tpu.utils import kat
 
-COUNT = int(os.environ.get("DILITHIUM_KAT_COUNT", "6"))
+COUNT = int(os.environ.get("DILITHIUM_KAT_COUNT", "25"))
 LEVELS = [2, 3, 5]
 
 
