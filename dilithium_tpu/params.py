@@ -104,8 +104,11 @@ class DilithiumParams:
     @property
     def uniform_blocks(self) -> int:
         # SHAKE128, 168 B/block → 56 candidates/block, accept p≈0.99902.
-        # 6 blocks = 336 candidates ≥ 256: P[fail] < 1e-60.
-        return 6
+        # 5 blocks = 280 candidates ≥ 256: P[>24 rejects] < 1e-40
+        # (C(280,25)·(2^13/2^23)^25). One block fewer than the r1-r3 budget
+        # of 6 — cuts the ExpandA XOF and compaction window by 1/6; failure
+        # still reported exactly via the ok flag, never silently wrong.
+        return 5
 
     @property
     def eta_blocks(self) -> int:

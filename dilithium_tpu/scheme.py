@@ -64,8 +64,12 @@ def keygen(seed: jnp.ndarray, p: DilithiumParams) -> KeyPair:
     key = seedbuf[..., SEEDBYTES + CRHBYTES:]
 
     a_hat, ok_a = sampling.expand_a(rho, p)
-    s1, ok_s1 = sampling.expand_s(sigma, 0, p.L, p)
-    s2, ok_s2 = sampling.expand_s(sigma, p.L, p.K, p)
+    # one fused ExpandS over nonces 0..L+K-1 (s1 then s2 — identical to
+    # the reference's sequential nonce walk, `gen_s.v:115-155`); a single
+    # XOF kernel + compaction over L+K polys instead of two launches
+    s12, ok_s = sampling.expand_s(sigma, 0, p.L + p.K, p)
+    s1 = s12[..., :p.L, :]
+    s2 = s12[..., p.L:, :]
 
     s1_hat = ntt.ntt(s1)
     t = ntt.invntt(ntt.matvec(a_hat, s1_hat), from_product=True)
@@ -75,7 +79,7 @@ def keygen(seed: jnp.ndarray, p: DilithiumParams) -> KeyPair:
     pk = pack.pack_pk(rho, t1, p)
     tr = keccak.shake256(pk, TRBYTES)
     sk = pack.pack_sk(rho, key, tr, s1, s2, t0, p)
-    return KeyPair(pk, sk, rho, key, tr, s1, s2, t0, t1, ok_a & ok_s1 & ok_s2)
+    return KeyPair(pk, sk, rho, key, tr, s1, s2, t0, t1, ok_a & ok_s)
 
 
 class SignResult(NamedTuple):

@@ -53,6 +53,33 @@ def test_rank_compact_sparse_skip_budget_edges():
             assert not np.asarray(ok).any()
 
 
+def test_rank_compact_banded_matches_onehot():
+    """Banded one-hot compaction == full-window one-hot at the eta=4
+    acceptance rate (9/16), including the coverage/ok semantics."""
+    nib = jnp.asarray(RNG.integers(0, 16, size=(128, 11, 816), dtype=np.int64).astype(np.uint8))
+    accept = nib < 9
+    ref, ok_ref = sampling._rank_compact_onehot(nib, accept, 256)
+    got, ok_got = sampling._rank_compact_onehot_banded(
+        nib, accept, 256, p_accept=9 / 16
+    )
+    assert np.asarray(ok_ref).all() and np.asarray(ok_got).all()
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_rank_compact_banded_flags_out_of_band():
+    """A draw whose source falls outside the sigma band must flag
+    ok=False, never return a wrong value: front-load far more rejects
+    than the band allows."""
+    n_cand = 816
+    cand = np.arange(1, n_cand + 1, dtype=np.uint32)
+    accept = np.ones(n_cand, dtype=bool)
+    accept[:500] = False  # 500 rejects up front >> 8-sigma band
+    got, ok = sampling._rank_compact_onehot_banded(
+        jnp.asarray(cand[None]), jnp.asarray(accept[None]), 256, p_accept=9 / 16
+    )
+    assert not np.asarray(ok).any()
+
+
 @pytest.mark.parametrize("level", [2, 3, 5])
 def test_expand_a_range_and_determinism(level):
     p = get_params(level)
