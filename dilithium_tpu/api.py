@@ -230,7 +230,9 @@ class Signer:
         if mode == "mxu":
             from dilithium_tpu import mxu as _mxu
             self._mxu = _mxu
-            meta = _expansion_meta("KeyOperators", level, sk_b)
+            # .v2: operator set gained wy_cat/c_cat concatenations — old
+            # cache files must miss cleanly and recompute
+            meta = _expansion_meta("KeyOperators.v2", level, sk_b)
             self.operators = (
                 _load_expansion(cache_path, _mxu.KeyOperators, meta)
                 if cache_path else None
@@ -269,6 +271,56 @@ class Signer:
             res = scheme.sign_expanded(
                 self.expanded, jnp.asarray(mus), self.p, rhoprime=rp
             )
+        if not bool(np.asarray(res.ok).all()):
+            raise RuntimeError("sign did not converge within max_rounds")
+        return [bytes(r) for r in np.asarray(res.sig)]
+
+
+class MultiSigner:
+    """Persistent signing service for MANY keys in one elastic window.
+
+    The independent-keys counterpart of `Signer`: all keys' NTT-domain
+    expansions are held as one batched `ExpandedKey`, and each sign call
+    routes a mixed-key message queue through `scheme.sign_stream_keys`,
+    whose attempt slots gather their own key's material by row — no
+    lockstep max-of-batch rejection waste, one compiled graph for any key
+    mix (~2.5x the lockstep many-keys rate at batch 16k, docs/PERF.md).
+    The reference analog is `combined_top.v` accepting a freshly streamed
+    key every sign invocation (`tb_sign_top.v:171-283`).
+    """
+
+    def __init__(self, level: int, sks: Sequence[Bytes], window: int = 768):
+        self.p = get_params(level)
+        self.level = level
+        arr = _as_rows(sks, self.p.sk_bytes, "sk")
+        self.trs = [
+            bytes(r[2 * SEEDBYTES: 2 * SEEDBYTES + TRBYTES]) for r in arr
+        ]
+        self.window = window
+        # one batched expansion over the key axis, computed once
+        self.expanded = scheme.expand_sk(jnp.asarray(arr), self.p)
+        jax.block_until_ready(self.expanded)
+
+    def sign(self, key_message_pairs: Sequence[Tuple[int, Bytes]],
+             randomized: bool = False) -> list:
+        """Sign [(key_index, message), ...] -> signatures in order.
+
+        randomized=True: spec randomized variant (see api.sign).
+        """
+        idx = np.asarray([i for i, _ in key_message_pairs], dtype=np.int32)
+        if idx.size and (idx.min() < 0 or idx.max() >= len(self.trs)):
+            raise IndexError(
+                f"key index out of range 0..{len(self.trs) - 1}"
+            )
+        mus = np.stack([
+            np.frombuffer(compute_mu(self.trs[i], m), dtype=np.uint8)
+            for i, m in key_message_pairs
+        ])
+        rp = _fresh_rhoprime(len(key_message_pairs)) if randomized else None
+        res = scheme.sign_stream_keys(
+            self.expanded, jnp.asarray(idx), jnp.asarray(mus), self.p,
+            window=self.window, rhoprime=rp,
+        )
         if not bool(np.asarray(res.ok).all()):
             raise RuntimeError("sign did not converge within max_rounds")
         return [bytes(r) for r in np.asarray(res.sig)]

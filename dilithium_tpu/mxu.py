@@ -31,12 +31,19 @@ per key would be 5.9 MB/key).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# A/B switch for the in-loop matmul grouping: "cat" evaluates the 9 W_y
+# limb products as 3 dots against a [L*N, 3*K*N] concatenation and the 4
+# c-side products (cs1/cs2/ct0_lo/ct0_hi) as 1 dot against a
+# [N, (L+3K)*N] concatenation — fewer kernel launches, same FLOPs.
+_MATMUL_GROUPING = os.environ.get("DILITHIUM_MXU_GROUPING", "cat")
 
 from dilithium_tpu.params import Q, N, D, CRHBYTES, TRBYTES, DilithiumParams
 from dilithium_tpu import scheme
@@ -52,12 +59,19 @@ _U32 = jnp.uint32
 
 
 class KeyOperators(NamedTuple):
-    """Dense per-key operators (see module docstring)."""
+    """Dense per-key operators (see module docstring).
+
+    wy_cat / c_cat are column-concatenations of the same limb matrices
+    (wy_cat[:, j*KN:(j+1)*KN] == wy_limbs[j]; c_cat = [s1|s2|t0_lo|t0_hi])
+    so the in-loop attempt runs 3+1 MXU dots instead of 9+4.
+    """
     wy_limbs: jnp.ndarray   # int8 [3, L*256, K*256] (limb of the INPUT side folded: see build)
     s1_mat: jnp.ndarray     # int8 [256, L*256]
     s2_mat: jnp.ndarray     # int8 [256, K*256]
     t0_lo: jnp.ndarray      # int8 [256, K*256]
     t0_hi: jnp.ndarray      # int8 [256, K*256]
+    wy_cat: jnp.ndarray     # int8 [L*256, 3*K*256]
+    c_cat: jnp.ndarray      # int8 [256, (L+3K)*256]
     key: jnp.ndarray        # uint8 [32]
     tr: jnp.ndarray         # uint8 [32]
 
@@ -139,7 +153,11 @@ def build_operators(sk: jnp.ndarray, p: DilithiumParams) -> KeyOperators:
     t0_hi = jnp.concatenate(
         [_conv_matrix(hi[k]) for k in range(K)], axis=-1
     ).astype(_I8)
-    return KeyOperators(wy_limbs, s1_mat, s2_mat, t0_lo, t0_hi, key, tr)
+    wy_cat = jnp.concatenate([wy_limbs[0], wy_limbs[1], wy_limbs[2]], axis=-1)
+    c_cat = jnp.concatenate([s1_mat, s2_mat, t0_lo, t0_hi], axis=-1)
+    return KeyOperators(
+        wy_limbs, s1_mat, s2_mat, t0_lo, t0_hi, wy_cat, c_cat, key, tr
+    )
 
 
 # ---- exact mod-q recombination of limb products ----
@@ -186,7 +204,12 @@ def _dot_i8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _apply_wy(y: jnp.ndarray, wy_limbs: jnp.ndarray, p: DilithiumParams):
+def _apply_wy(
+    y: jnp.ndarray,
+    wy_limbs: jnp.ndarray,
+    p: DilithiumParams,
+    wy_cat: jnp.ndarray | None = None,
+):
     """y uint32 [B, L*256] canonical -> w uint32 [B, K*256] canonical."""
     yc = center(y)  # int32, |.| <= q/2
     y0 = ((yc + 128) % 256) - 128
@@ -195,11 +218,21 @@ def _apply_wy(y: jnp.ndarray, wy_limbs: jnp.ndarray, p: DilithiumParams):
     y2 = (r - y1) >> 8
     ylimbs = [y0.astype(_I8), y1.astype(_I8), y2.astype(_I8)]
     prods = {}  # power -> int32 sum
-    for i in range(3):
-        for j in range(3):
-            pij = _dot_i8(ylimbs[i], wy_limbs[j])
-            k = i + j
-            prods[k] = pij if k not in prods else prods[k] + pij
+    if wy_cat is not None and _MATMUL_GROUPING == "cat":
+        # 3 wide dots (limb i of y against ALL weight limbs at once)
+        kn = wy_limbs.shape[-1]
+        for i in range(3):
+            p3 = _dot_i8(ylimbs[i], wy_cat)  # [B, 3*KN]
+            for j in range(3):
+                pij = p3[..., j * kn:(j + 1) * kn]
+                k = i + j
+                prods[k] = pij if k not in prods else prods[k] + pij
+    else:
+        for i in range(3):
+            for j in range(3):
+                pij = _dot_i8(ylimbs[i], wy_limbs[j])
+                k = i + j
+                prods[k] = pij if k not in prods else prods[k] + pij
     return _recombine(
         prods[0], prods[1], prods[2], prods[3], prods[4]
     )
@@ -212,7 +245,7 @@ def _sign_attempt_mxu(ops: KeyOperators, mu, rhoprime, kappa, p: DilithiumParams
     L, K = p.L, p.K
     y = sampling.expand_mask(rhoprime, kappa, p)  # [B, L, 256]
     y_flat = y.reshape(B, L * N)
-    w = _apply_wy(y_flat, ops.wy_limbs, p).reshape(B, K, N)
+    w = _apply_wy(y_flat, ops.wy_limbs, p, ops.wy_cat).reshape(B, K, N)
     w1, w0 = rounding.decompose(w, p)
 
     w1_packed = pack.pack_w1(w1, p).reshape(B, K * p.polyw1_packedbytes)
@@ -222,16 +255,25 @@ def _sign_attempt_mxu(ops: KeyOperators, mu, rhoprime, kappa, p: DilithiumParams
     c, ok_ball = sampling.sample_in_ball(c_tilde, p)  # canonical {0,1,q-1}
     c_i8 = center(c).astype(_I8)  # {0, +-1}
 
-    cs1 = _dot_i8(c_i8, ops.s1_mat).reshape(B, L, N)  # int32, |.| <= beta
+    if _MATMUL_GROUPING == "cat":
+        ln, kn = L * N, K * N
+        prod = _dot_i8(c_i8, ops.c_cat)  # [B, (L+3K)*N]
+        cs1 = prod[..., :ln].reshape(B, L, N)         # int32, |.| <= beta
+        cs2 = prod[..., ln:ln + kn].reshape(B, K, N)  # |.| <= beta
+        ct0_lo = prod[..., ln + kn:ln + 2 * kn]
+        ct0_hi = prod[..., ln + 2 * kn:]
+    else:
+        cs1 = _dot_i8(c_i8, ops.s1_mat).reshape(B, L, N)
+        cs2 = _dot_i8(c_i8, ops.s2_mat).reshape(B, K, N)
+        ct0_lo = _dot_i8(c_i8, ops.t0_lo)
+        ct0_hi = _dot_i8(c_i8, ops.t0_hi)
+
     z = uncenter(center(y).astype(_I32) + cs1)
     rej_z = rounding.norm_exceeds(z, p.gamma1 - p.beta, axis=(-2, -1))
 
-    cs2 = _dot_i8(c_i8, ops.s2_mat).reshape(B, K, N)  # |.| <= beta
     w0_cs2 = w0 - cs2
     rej_w0 = rounding.norm_exceeds(w0_cs2, p.gamma2 - p.beta, axis=(-2, -1))
 
-    ct0_lo = _dot_i8(c_i8, ops.t0_lo)
-    ct0_hi = _dot_i8(c_i8, ops.t0_hi)
     ct0 = (ct0_lo + (ct0_hi << 7)).reshape(B, K, N)  # exact, |.| <= tau*2^12
     rej_t0 = rounding.norm_exceeds(ct0, p.gamma2, axis=(-2, -1))
 

@@ -150,3 +150,29 @@ def test_randomized_signer_service(kat2):
         assert rnd != det
         v = api.Verifier(LEVEL, pks[0], mode=mode)
         assert v.verify(list(zip(msgs, rnd))) == [True, True, True]
+
+
+def test_multi_signer_matches_kat_and_single(kat2):
+    """MultiSigner signs a mixed-key queue byte-identically to the KAT
+    signatures / per-key api.sign, and signatures verify under the right
+    key only."""
+    k = kat2
+    pks, sks = api.keygen(LEVEL, k["z"])
+    ms = api.MultiSigner(LEVEL, sks, window=3)
+    pairs = [(0, k["m"][0]), (1, k["m"][1]), (0, b"extra message"), (1, b"")]
+    sigs = ms.sign(pairs)
+    # KAT messages signed under their own key reproduce the KAT signature
+    assert sigs[0] == k["c"][0] + k["zs"][0] + k["h"][0]
+    assert sigs[1] == k["c"][1] + k["zs"][1] + k["h"][1]
+    # non-KAT messages match the single-key path bit-for-bit
+    assert sigs[2] == api.sign(LEVEL, sks[0], [b"extra message"])[0]
+    assert sigs[3] == api.sign(LEVEL, sks[1], [b""])[0]
+    # verify under the correct key; reject under the other
+    assert api.verify(LEVEL, pks[0], [(b"extra message", sigs[2])]) == [True]
+    assert api.verify(LEVEL, pks[1], [(b"extra message", sigs[2])]) == [False]
+    # randomized variant still verifies
+    rnd = ms.sign(pairs, randomized=True)
+    assert rnd != sigs
+    assert api.verify(LEVEL, pks[0], [(k["m"][0], rnd[0])]) == [True]
+    with pytest.raises(IndexError):
+        ms.sign([(2, b"no such key")])
