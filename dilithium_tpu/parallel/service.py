@@ -131,6 +131,43 @@ def sharded_sign_stream(
     return jax.jit(run)
 
 
+def sharded_sign_stream_keys(
+    mesh: Mesh,
+    p: DilithiumParams,
+    window: int = 768,
+    max_rounds: int = 8192,
+):
+    """Independent-keys signing service over the mesh.
+
+    The batched `ExpandedKey` (key axis) is REPLICATED — every chip holds
+    all keys' NTT-domain material (~47 KB/key at level 3, so thousands of
+    keys fit comfortably) — while key_idx [Q] and mu [Q, 64] shard on the
+    queue axis; each chip runs `scheme.sign_stream_keys` on its local
+    shard. Bit-identical per message regardless of sharding (per-message
+    kappa schedules); psum totals are the only collective.
+
+    Returns a jitted fn(eks, key_idx, mu) -> ShardedSignResult.
+    """
+
+    def sg(eks, key_idx, mu):
+        res = scheme.sign_stream_keys(eks, key_idx, mu, p, window=window,
+                                      max_rounds=max_rounds)
+        signed = jax.lax.psum(jnp.sum(res.ok.astype(jnp.int32)), BATCH_AXIS)
+        att = jax.lax.psum(jnp.sum(res.attempts), BATCH_AXIS)
+        return res.sig, res.attempts, res.ok, signed, att
+
+    mapped = shard_map(
+        sg, mesh=mesh,
+        in_specs=(P(), P(BATCH_AXIS), P(BATCH_AXIS, None)),
+        out_specs=(P(BATCH_AXIS, None), P(BATCH_AXIS), P(BATCH_AXIS), P(), P()),
+    )
+
+    def run(eks, key_idx, mu) -> ShardedSignResult:
+        return ShardedSignResult(*mapped(eks, key_idx, mu))
+
+    return jax.jit(run)
+
+
 def sharded_verify(mesh: Mesh, p: DilithiumParams, replicate_key: bool = False):
     """Batched verify over the mesh. Returns (ok [B], total_ok scalar)."""
 

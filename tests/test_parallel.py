@@ -139,3 +139,30 @@ def test_sharded_verify_stream(mesh, data):
     bad = jax.device_put(bad, sh)
     ok3, total3 = sharded_verify_stream(mesh, p, use_mxu=True)(vops, bad, mu)
     assert not np.asarray(ok3).any() and int(total3) == 0
+
+
+def test_sharded_sign_stream_keys_matches_single_chip(mesh, data):
+    """Independent-keys stream service: replicated batched ExpandedKey,
+    sharded key_idx + queue; bit-identical to unsharded sign_stream_keys
+    and to lockstep sign under the matching per-message sk."""
+    from dilithium_tpu.parallel import sharded_sign_stream_keys
+
+    p = params.get_params(LEVEL)
+    seed, mu = data
+    batch = mu.shape[0]
+    kp = scheme.keygen(seed, p)
+    eks = scheme.expand_sk(kp.sk[:3], p)  # 3 distinct keys
+    key_idx_np = (np.arange(batch) % 3).astype(np.int32)
+    key_idx = jax.device_put(key_idx_np, NamedSharding(mesh, P("batch")))
+
+    res = sharded_sign_stream_keys(mesh, p, window=1, max_rounds=512)(
+        eks, key_idx, mu
+    )
+    assert np.asarray(res.ok).all()
+    assert int(res.total_signed) == batch
+
+    ref = scheme.sign(
+        jnp.take(kp.sk, jnp.asarray(key_idx_np), axis=0), mu, p,
+        attempts_per_round=2, max_rounds=64,
+    )
+    np.testing.assert_array_equal(np.asarray(res.sig), np.asarray(ref.sig))
