@@ -15,9 +15,11 @@ Extra diagnostics go to stderr; stdout carries only the JSON line.
 
 Default mode is "mxu" (dense per-key int8 operators on the systolic
 array + elastic attempt scheduler): measured ~180k signs/sec (2026-08-20,
-v5e-1, batch 16384, window 768) vs ~92k for the generic-NTT "stream"
-mode (same date; the path batched independent keys also take) and ~34k
-for lockstep "batch" mode on the same chip/batch.
+v5e-1, batch 16384, window 768). Other modes: "stream" = one-key
+generic-NTT elastic signer (~92k), "keys" = independent-keys elastic
+signer over DILITHIUM_BENCH_NKEYS distinct keys (~84k at 256 keys),
+"batch" = lockstep signer (~34k), "verify" = one-key MXU verify service
+(~456k verifies/sec).
 Default 21 timed iterations in 3 blocks of 7, median block reported: at
 5 iterations the queue-drain warmup and tunnel dispatch jitter
 under-report throughput by ~20%, and a single timing window is not

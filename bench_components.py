@@ -61,9 +61,10 @@ def main():
     f = jax.jit(keccak.keccak_f1600)
     report("keccak_f1600 x30B", timeit(f, st), B * 30)
 
-    # SHAKE128 34->1008 bytes (ExpandA poly): B*KL messages
+    # SHAKE128 ExpandA-shape (34 B in, uniform_blocks out): B*KL messages
     msgs = jnp.asarray(rng.integers(0, 256, (B * p.K * p.L, 34), dtype=np.uint8))
-    f = jax.jit(lambda m: keccak.shake128(m, 6 * 168))
+    nbytes_a = p.uniform_blocks * 168
+    f = jax.jit(lambda m: keccak.shake128(m, nbytes_a))
     report("shake128 expandA-shape", timeit(f, msgs, iters=3), B * p.K * p.L)
 
     # NTT forward: B*L polys

@@ -68,3 +68,47 @@ void oracle_shake128(uint8_t* out, int outlen, const uint8_t* in, int inlen) {
 }
 
 }  // extern "C"
+
+// Multithreaded ragged-batch mu = CRH(tr || M) — the host half of the
+// serving pipeline (`expandmask_ext.v:126-153` absorbs tr then M; here a
+// thread pool amortizes it across a whole message queue: the Python
+// hashlib loop costs ~3 us/message single-threaded, comparable to the
+// device's per-sign time at batch 16k).
+#include <algorithm>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// msgs: concatenated message bytes; offsets[n+1] delimit message i as
+// [offsets[i], offsets[i+1]). trs: n x 32 row-major, or one shared 32-byte
+// tr when tr_stride == 0. mus out: n x 64. nthreads <= 0 = hardware pick.
+void oracle_crh_batch(int n, const uint8_t* trs, int tr_stride,
+                      const uint8_t* msgs, const int64_t* offsets,
+                      uint8_t* mus, int nthreads) {
+  if (n <= 0) return;
+  if (nthreads <= 0) nthreads = int(std::thread::hardware_concurrency());
+  nthreads = std::max(1, std::min(nthreads, n));
+  auto work = [&](int t) {
+    std::vector<uint8_t> buf;
+    for (int i = t; i < n; i += nthreads) {
+      const uint8_t* m = msgs + offsets[i];
+      const size_t len = size_t(offsets[i + 1] - offsets[i]);
+      buf.resize(32 + len);
+      std::memcpy(buf.data(), trs + (tr_stride ? size_t(i) * tr_stride : 0), 32);
+      if (len) std::memcpy(buf.data() + 32, m, len);
+      oracle::shake256(mus + size_t(i) * 64, 64, buf.data(), buf.size());
+    }
+  };
+  if (nthreads == 1) {
+    work(0);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(nthreads);
+  for (int t = 0; t < nthreads; ++t) pool.emplace_back(work, t);
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

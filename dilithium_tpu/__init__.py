@@ -18,6 +18,6 @@ Public API
 
 from dilithium_tpu.params import DilithiumParams, get_params, LEVELS
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = ["DilithiumParams", "get_params", "LEVELS", "__version__"]

@@ -47,6 +47,35 @@ def compute_mu(tr: Bytes, message: Bytes) -> bytes:
     return h.digest(CRHBYTES)
 
 
+def compute_mu_many(trs, messages: Sequence[Bytes]) -> np.ndarray:
+    """mu rows for a ragged message batch — native thread pool when available.
+
+    trs: one 32-byte tr (bytes) shared by all messages, or a list of n
+    32-byte trs. Uses the C++ oracle's multithreaded SHAKE256 batch
+    (`cpp/oracle_api.cpp oracle_crh_batch`) when the library is buildable;
+    falls back to the per-message hashlib loop otherwise. Returns uint8
+    [n, 64]. ~3 us/message single-threaded hashlib vs ~the device's
+    per-sign time at large batches — the host half of the serving path.
+    """
+    n = len(messages)
+    if isinstance(trs, (bytes, bytearray, memoryview)):
+        trs_arr = np.frombuffer(bytes(trs), dtype=np.uint8)
+        tr_list = [bytes(trs)] * n
+    else:
+        tr_list = [bytes(t) for t in trs]
+        trs_arr = np.stack([np.frombuffer(t, dtype=np.uint8) for t in tr_list])
+    if n >= 64:
+        try:
+            from dilithium_tpu import oracle
+            return oracle.crh_batch(trs_arr, messages)
+        except Exception:
+            pass  # no native toolchain: hashlib fallback below
+    return np.stack([
+        np.frombuffer(compute_mu(t, m), dtype=np.uint8)
+        for t, m in zip(tr_list, messages)
+    ])
+
+
 def compute_mu_batch(tr: jnp.ndarray, messages: jnp.ndarray) -> jnp.ndarray:
     """Batched on-device mu = CRH(tr || M) for FIXED-length messages.
 
@@ -145,9 +174,7 @@ def sign(level: int, sk: Bytes, messages: Sequence[Bytes],
     if len(sk_b) != p.sk_bytes:
         raise ValueError(f"sk has {len(sk_b)} bytes, expected {p.sk_bytes}")
     tr = sk_b[2 * SEEDBYTES: 2 * SEEDBYTES + TRBYTES]
-    mus = np.stack(
-        [np.frombuffer(compute_mu(tr, m), dtype=np.uint8) for m in messages]
-    )
+    mus = compute_mu_many(tr, messages)
     sk_arr = jnp.asarray(np.frombuffer(sk_b, dtype=np.uint8))
     sk_rep = jnp.broadcast_to(sk_arr, (len(messages), p.sk_bytes))
     rp = _fresh_rhoprime(len(messages)) if randomized else None
@@ -158,15 +185,15 @@ def sign(level: int, sk: Bytes, messages: Sequence[Bytes],
 
 
 def _coerce_pairs(p: DilithiumParams, tr: bytes, message_sig_pairs) -> Tuple[np.ndarray, np.ndarray]:
-    mus, sigs = [], []
-    for m, s in message_sig_pairs:
-        mus.append(np.frombuffer(compute_mu(tr, m), dtype=np.uint8))
+    sigs = []
+    for _, s in message_sig_pairs:
         s = bytes(s)
         if len(s) != p.sig_bytes:
             # malformed length: definitionally invalid, mark via junk sig
             s = b"\x01" * p.sig_bytes
         sigs.append(np.frombuffer(s, dtype=np.uint8))
-    return np.stack(mus), np.stack(sigs)
+    mus = compute_mu_many(tr, [m for m, _ in message_sig_pairs])
+    return mus, np.stack(sigs)
 
 
 def verify(level: int, pk: Bytes, message_sig_pairs: Sequence[Tuple[Bytes, Bytes]]) -> list:
@@ -258,9 +285,7 @@ class Signer:
 
     def sign(self, messages: Sequence[Bytes], randomized: bool = False) -> list:
         """randomized=True: spec randomized variant (see api.sign)."""
-        mus = np.stack(
-            [np.frombuffer(compute_mu(self.tr, m), dtype=np.uint8) for m in messages]
-        )
+        mus = compute_mu_many(self.tr, messages)
         rp = _fresh_rhoprime(len(messages)) if randomized else None
         if self.mode == "mxu":
             res = self._mxu.sign_stream_mxu(
@@ -312,10 +337,10 @@ class MultiSigner:
             raise IndexError(
                 f"key index out of range 0..{len(self.trs) - 1}"
             )
-        mus = np.stack([
-            np.frombuffer(compute_mu(self.trs[i], m), dtype=np.uint8)
-            for i, m in key_message_pairs
-        ])
+        mus = compute_mu_many(
+            [self.trs[i] for i, _ in key_message_pairs],
+            [m for _, m in key_message_pairs],
+        )
         rp = _fresh_rhoprime(len(key_message_pairs)) if randomized else None
         res = scheme.sign_stream_keys(
             self.expanded, jnp.asarray(idx), jnp.asarray(mus), self.p,

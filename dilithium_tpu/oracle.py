@@ -38,6 +38,10 @@ def _lib() -> ctypes.CDLL:
     lib.oracle_pointwise.argtypes = [_i32p, _i32p, _i32p]
     lib.oracle_shake128.argtypes = [_u8p, ctypes.c_int, _u8p, ctypes.c_int]
     lib.oracle_shake256.argtypes = [_u8p, ctypes.c_int, _u8p, ctypes.c_int]
+    lib.oracle_crh_batch.argtypes = [
+        ctypes.c_int, _u8p, ctypes.c_int, _u8p,
+        ctypes.POINTER(ctypes.c_int64), _u8p, ctypes.c_int,
+    ]
     return lib
 
 
@@ -93,6 +97,38 @@ def verify(level: int, pk: np.ndarray, mu: np.ndarray, sig: np.ndarray):
     res = np.zeros(n, dtype=np.int32)
     lib.oracle_verify_batch(level, n, _p8(pk), _p8(mu), _p8(sig), _p32(res))
     return res.astype(bool)
+
+
+def crh_batch(trs: np.ndarray, messages, nthreads: int = 0) -> np.ndarray:
+    """Multithreaded mu = SHAKE256(tr || M, 64) over a ragged batch.
+
+    trs: uint8 [n, 32] (per-message) or [32] (one shared tr). messages:
+    sequence of bytes-like, arbitrary lengths. Returns uint8 [n, 64].
+    The native thread pool replaces the per-message Python hashlib loop
+    on the serving path (api.sign / Signer / MultiSigner), which costs
+    ~3 us/message single-threaded — comparable to the device's per-sign
+    time at large batches.
+    """
+    lib = _lib()
+    n = len(messages)
+    trs = np.ascontiguousarray(trs, dtype=np.uint8)
+    tr_stride = 0 if trs.ndim == 1 else 32
+    if tr_stride and trs.shape[0] != n:
+        raise ValueError(f"trs rows {trs.shape[0]} != {n} messages")
+    lens = np.fromiter((len(m) for m in messages), dtype=np.int64, count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    blob = bytearray(int(offsets[-1]))
+    for i, m in enumerate(messages):
+        blob[offsets[i]:offsets[i + 1]] = bytes(m)
+    msgs = np.frombuffer(bytes(blob), dtype=np.uint8) if blob else np.zeros(1, dtype=np.uint8)
+    mus = np.zeros((n, 64), dtype=np.uint8)
+    lib.oracle_crh_batch(
+        n, _p8(trs), tr_stride, _p8(msgs),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), _p8(mus),
+        nthreads,
+    )
+    return mus
 
 
 def ntt(a: np.ndarray) -> np.ndarray:

@@ -82,3 +82,29 @@ def test_ntt2x2_model():
         check=True, capture_output=True, text=True,
     ).stdout
     assert "differential tests OK" in out
+
+
+def test_crh_batch_matches_hashlib():
+    """Native multithreaded mu batch == hashlib, per-message and shared
+    tr, ragged lengths including empty."""
+    import hashlib
+    from dilithium_tpu import oracle
+
+    rng = np.random.default_rng(11)
+    msgs = [
+        rng.integers(0, 256, int(n), dtype=np.uint8).tobytes()
+        for n in rng.integers(0, 500, 40)
+    ] + [b""]
+    trs = rng.integers(0, 256, (len(msgs), 32), dtype=np.uint8)
+    mus = oracle.crh_batch(trs, msgs, nthreads=3)
+    for i, m in enumerate(msgs):
+        h = hashlib.shake_256()
+        h.update(trs[i].tobytes())
+        h.update(m)
+        assert mus[i].tobytes() == h.digest(64), i
+    # shared tr form
+    mus1 = oracle.crh_batch(trs[0], msgs)
+    h = hashlib.shake_256()
+    h.update(trs[0].tobytes())
+    h.update(msgs[3])
+    assert mus1[3].tobytes() == h.digest(64)
