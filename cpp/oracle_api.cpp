@@ -88,7 +88,10 @@ void oracle_crh_batch(int n, const uint8_t* trs, int tr_stride,
                       const uint8_t* msgs, const int64_t* offsets,
                       uint8_t* mus, int nthreads) {
   if (n <= 0) return;
-  if (nthreads <= 0) nthreads = int(std::thread::hardware_concurrency());
+  // 2x oversubscription hides the memcpy/stride stalls of the ragged
+  // walk (measured: 8 threads 10.7 ms vs 4 threads 13.5 ms on 4 cores,
+  // 16384 x 232-byte messages)
+  if (nthreads <= 0) nthreads = 2 * int(std::thread::hardware_concurrency());
   nthreads = std::max(1, std::min(nthreads, n));
   auto work = [&](int t) {
     std::vector<uint8_t> buf;
