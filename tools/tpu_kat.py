@@ -134,6 +134,26 @@ def main() -> int:
               np.broadcast_to(exp_sig, (stream_q, exp_sig.shape[0])))
         log(f"L{level} MXU stream sign checked in {time.time() - t0:.1f}s")
 
+        # --- independent-keys elastic signer: first 4 KAT keys, each
+        # signing its own message, mixed in one window ---
+        t0 = time.time()
+        nk = min(4, count)
+        eks = scheme.expand_sk(kp.sk[:nk], p)
+        key_idx = jnp.arange(nk, dtype=jnp.int32)
+        kres = scheme.sign_stream_keys(
+            eks, key_idx, mus[:nk], p, window=nk, max_rounds=4096
+        )
+        k_ok = bool(np.asarray(kres.ok).all())
+        results[f"L{level}.stream_keys.ok"] = k_ok
+        if not k_ok:
+            failures.append(f"L{level}.stream_keys.ok")
+        exp_sigs = np.concatenate(
+            [kat.stack_u8(k["c"])[:nk], kat.stack_u8(k["zs"])[:nk],
+             kat.stack_u8(k["h"])[:nk]], axis=1,
+        )
+        check(level, "stream_keys.sig", np.asarray(kres.sig), exp_sigs)
+        log(f"L{level} independent-keys stream checked in {time.time() - t0:.1f}s")
+
         # --- verify: KAT signatures accept, a corrupted byte rejects ---
         t0 = time.time()
         sigs = jnp.asarray(np.concatenate(
