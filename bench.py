@@ -19,7 +19,8 @@ v5e-1, batch 16384, window 768). Other modes: "stream" = one-key
 generic-NTT elastic signer (~92k), "keys" = independent-keys elastic
 signer over DILITHIUM_BENCH_NKEYS distinct keys (~84k at 256 keys),
 "batch" = lockstep signer (~34k), "verify" = one-key MXU verify service
-(~456k verifies/sec).
+(~456k verifies/sec), "serve" = end-to-end bytes->mu->sign pipeline
+(native mu thread pool + MXU signer).
 Default 21 timed iterations in 3 blocks of 7, median block reported: at
 5 iterations the queue-drain warmup and tunnel dispatch jitter
 under-report throughput by ~20%, and a single timing window is not
@@ -120,6 +121,31 @@ def main():
 
         def run(mu):
             res = mxu_mod.sign_stream_mxu(ops_, mu, p, window=window, max_rounds=8192)
+            return res.sig, res.ok, res.attempts
+    elif mode == "serve":
+        # end-to-end serving: raw message bytes -> mu (native thread pool)
+        # -> MXU stream signer; measures the full host+device pipeline
+        from dilithium_tpu import api, mxu as mxu_mod
+        msg_len = int(os.environ.get("DILITHIUM_BENCH_MSGLEN", "200"))
+        seed = jnp.asarray(rng.integers(0, 256, size=(32,), dtype=np.uint8))
+        t0 = time.time()
+        kp = scheme.keygen(seed, p)
+        ops_ = mxu_mod.build_operators(kp.sk, p)
+        sync(ops_.wy_limbs)
+        tr_host = bytes(np.asarray(kp.tr))
+        log(f"keygen+build_operators compile+run: {time.time() - t0:.1f}s")
+        # fixed message corpus (like verify mode): the timed loop measures
+        # mu hashing + signing, not host RNG; jit does not memoize, so the
+        # full pipeline re-runs every iteration
+        msgs_fixed = rng.integers(
+            0, 256, size=(batch, msg_len), dtype=np.uint8
+        )
+        msgs_list = [m.tobytes() for m in msgs_fixed]
+
+        def run(mu_ignored):
+            mus = jnp.asarray(api.compute_mu_many(tr_host, msgs_list))
+            res = mxu_mod.sign_stream_mxu(ops_, mus, p, window=window,
+                                          max_rounds=8192)
             return res.sig, res.ok, res.attempts
     elif mode == "keys":
         # independent-keys elastic signer: N distinct keys x `batch`
