@@ -116,7 +116,7 @@ def main():
         t0 = time.time()
         kp = scheme.keygen(seed, p)
         ops_ = mxu_mod.build_operators(kp.sk, p)
-        sync(ops_.wy_limbs)
+        sync(ops_.wy_cat)
         log(f"keygen+build_operators compile+run: {time.time() - t0:.1f}s")
 
         def run(mu):
@@ -131,7 +131,7 @@ def main():
         t0 = time.time()
         kp = scheme.keygen(seed, p)
         ops_ = mxu_mod.build_operators(kp.sk, p)
-        sync(ops_.wy_limbs)
+        sync(ops_.wy_cat)
         tr_host = bytes(np.asarray(kp.tr))
         log(f"keygen+build_operators compile+run: {time.time() - t0:.1f}s")
         # fixed message corpus (like verify mode): the timed loop measures
@@ -217,7 +217,9 @@ def main():
     # ceil: DILITHIUM_BENCH_ITERS is a floor on total timed iterations
     # (the degradation guard below may add whole extra blocks beyond it)
     per_block = max(1, -(-iters // blocks))
-    fresh_input = mode != "verify"  # verify times a fixed corpus
+    # verify/serve time a fixed corpus; their run() ignores mu, so fresh
+    # host RNG + transfer each iteration would only deflate the rate
+    fresh_input = mode not in ("verify", "serve")
     # untimed warmup beyond the compile run: the first ~2-3 post-compile
     # iterations consistently run 20-30% slow (observed ramp on the
     # tunneled chip), which would handicap block 1

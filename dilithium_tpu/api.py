@@ -58,12 +58,18 @@ def compute_mu_many(trs, messages: Sequence[Bytes]) -> np.ndarray:
     per-sign time at large batches — the host half of the serving path.
     """
     n = len(messages)
+    if n == 0:
+        return np.zeros((0, CRHBYTES), dtype=np.uint8)
     if isinstance(trs, (bytes, bytearray, memoryview)):
         trs_arr = np.frombuffer(bytes(trs), dtype=np.uint8)
         tr_list = [bytes(trs)] * n
     else:
         tr_list = [bytes(t) for t in trs]
+        if len(tr_list) != n:
+            raise ValueError(f"{len(tr_list)} trs for {n} messages")
         trs_arr = np.stack([np.frombuffer(t, dtype=np.uint8) for t in tr_list])
+    if any(len(t) != TRBYTES for t in tr_list):
+        raise ValueError(f"every tr must be {TRBYTES} bytes")
     if n >= 64:
         try:
             from dilithium_tpu import oracle
@@ -257,9 +263,9 @@ class Signer:
         if mode == "mxu":
             from dilithium_tpu import mxu as _mxu
             self._mxu = _mxu
-            # .v2: operator set gained wy_cat/c_cat concatenations — old
-            # cache files must miss cleanly and recompute
-            meta = _expansion_meta("KeyOperators.v2", level, sk_b)
+            # .v3: operators stored as wy_cat/c_cat concatenations only —
+            # older cache files must miss cleanly and recompute
+            meta = _expansion_meta("KeyOperators.v3", level, sk_b)
             self.operators = (
                 _load_expansion(cache_path, _mxu.KeyOperators, meta)
                 if cache_path else None
@@ -332,6 +338,8 @@ class MultiSigner:
 
         randomized=True: spec randomized variant (see api.sign).
         """
+        if not key_message_pairs:
+            return []
         idx = np.asarray([i for i, _ in key_message_pairs], dtype=np.int32)
         if idx.size and (idx.min() < 0 or idx.max() >= len(self.trs)):
             raise IndexError(

@@ -61,19 +61,46 @@ _U32 = jnp.uint32
 class KeyOperators(NamedTuple):
     """Dense per-key operators (see module docstring).
 
-    wy_cat / c_cat are column-concatenations of the same limb matrices
-    (wy_cat[:, j*KN:(j+1)*KN] == wy_limbs[j]; c_cat = [s1|s2|t0_lo|t0_hi])
-    so the in-loop attempt runs 3+1 MXU dots instead of 9+4.
+    Only the column-concatenated forms are STORED (one copy of each
+    operator, ~5.9 MB/key at level 3); the individual limb matrices are
+    exposed as slicing properties — wy_cat[:, j*KN:(j+1)*KN] is W limb j,
+    c_cat = [s1 | s2 | t0_lo | t0_hi] — so the in-loop attempt runs 3+1
+    MXU dots instead of 9+4 and the split A/B path costs no extra HBM.
     """
-    wy_limbs: jnp.ndarray   # int8 [3, L*256, K*256] (limb of the INPUT side folded: see build)
-    s1_mat: jnp.ndarray     # int8 [256, L*256]
-    s2_mat: jnp.ndarray     # int8 [256, K*256]
-    t0_lo: jnp.ndarray      # int8 [256, K*256]
-    t0_hi: jnp.ndarray      # int8 [256, K*256]
     wy_cat: jnp.ndarray     # int8 [L*256, 3*K*256]
     c_cat: jnp.ndarray      # int8 [256, (L+3K)*256]
     key: jnp.ndarray        # uint8 [32]
     tr: jnp.ndarray         # uint8 [32]
+
+    @property
+    def _kn(self) -> int:
+        return self.wy_cat.shape[-1] // 3
+
+    @property
+    def wy_limbs(self) -> jnp.ndarray:  # int8 [3, L*256, K*256]
+        kn = self._kn
+        return jnp.stack(
+            [self.wy_cat[:, j * kn:(j + 1) * kn] for j in range(3)]
+        )
+
+    @property
+    def s1_mat(self) -> jnp.ndarray:  # int8 [256, L*256]
+        return self.c_cat[:, :self.wy_cat.shape[0]]
+
+    @property
+    def s2_mat(self) -> jnp.ndarray:  # int8 [256, K*256]
+        ln = self.wy_cat.shape[0]
+        return self.c_cat[:, ln:ln + self._kn]
+
+    @property
+    def t0_lo(self) -> jnp.ndarray:  # int8 [256, K*256]
+        ln, kn = self.wy_cat.shape[0], self._kn
+        return self.c_cat[:, ln + kn:ln + 2 * kn]
+
+    @property
+    def t0_hi(self) -> jnp.ndarray:  # int8 [256, K*256]
+        ln, kn = self.wy_cat.shape[0], self._kn
+        return self.c_cat[:, ln + 2 * kn:]
 
 
 def _to_limbs_i8(m_centered: jnp.ndarray):
@@ -155,9 +182,7 @@ def build_operators(sk: jnp.ndarray, p: DilithiumParams) -> KeyOperators:
     ).astype(_I8)
     wy_cat = jnp.concatenate([wy_limbs[0], wy_limbs[1], wy_limbs[2]], axis=-1)
     c_cat = jnp.concatenate([s1_mat, s2_mat, t0_lo, t0_hi], axis=-1)
-    return KeyOperators(
-        wy_limbs, s1_mat, s2_mat, t0_lo, t0_hi, wy_cat, c_cat, key, tr
-    )
+    return KeyOperators(wy_cat, c_cat, key, tr)
 
 
 # ---- exact mod-q recombination of limb products ----
@@ -206,11 +231,15 @@ def _dot_i8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def _apply_wy(
     y: jnp.ndarray,
-    wy_limbs: jnp.ndarray,
+    wy_limbs: jnp.ndarray | None,
     p: DilithiumParams,
     wy_cat: jnp.ndarray | None = None,
 ):
-    """y uint32 [B, L*256] canonical -> w uint32 [B, K*256] canonical."""
+    """y uint32 [B, L*256] canonical -> w uint32 [B, K*256] canonical.
+
+    Pass wy_cat (and wy_limbs=None) for the 3-wide-dot grouping, or
+    wy_limbs [3, L*N, K*N] alone for the 9-dot split form (the verify
+    path and the DILITHIUM_MXU_GROUPING=split A/B)."""
     yc = center(y)  # int32, |.| <= q/2
     y0 = ((yc + 128) % 256) - 128
     r = (yc - y0) >> 8
@@ -220,7 +249,7 @@ def _apply_wy(
     prods = {}  # power -> int32 sum
     if wy_cat is not None and _MATMUL_GROUPING == "cat":
         # 3 wide dots (limb i of y against ALL weight limbs at once)
-        kn = wy_limbs.shape[-1]
+        kn = wy_cat.shape[-1] // 3
         for i in range(3):
             p3 = _dot_i8(ylimbs[i], wy_cat)  # [B, 3*KN]
             for j in range(3):
@@ -245,7 +274,8 @@ def _sign_attempt_mxu(ops: KeyOperators, mu, rhoprime, kappa, p: DilithiumParams
     L, K = p.L, p.K
     y = sampling.expand_mask(rhoprime, kappa, p)  # [B, L, 256]
     y_flat = y.reshape(B, L * N)
-    w = _apply_wy(y_flat, ops.wy_limbs, p, ops.wy_cat).reshape(B, K, N)
+    wy_l = None if _MATMUL_GROUPING == "cat" else ops.wy_limbs
+    w = _apply_wy(y_flat, wy_l, p, ops.wy_cat).reshape(B, K, N)
     w1, w0 = rounding.decompose(w, p)
 
     w1_packed = pack.pack_w1(w1, p).reshape(B, K * p.polyw1_packedbytes)

@@ -195,13 +195,22 @@ def _rank_compact(cand: jnp.ndarray, accept: jnp.ndarray, n_out: int) -> Tuple[j
     return out, ok
 
 
-def expand_a(rho: jnp.ndarray, p: DilithiumParams) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def expand_a(
+    rho: jnp.ndarray, p: DilithiumParams, max_skips: int = 12
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ExpandA: rho uint8 [..., 32] -> (A_hat uint32 [..., K, L, 256], ok).
 
     A_hat is NTT-domain by definition. Nonce = (i << 8) + j, SHAKE128 over
     the 34-byte message rho||nonce16le (matches the RTL's 272-bit header,
     `sampler_a_ext.v:107`); candidates are 3-byte little-endian & 0x7FFFFF,
     accepted if < q (`rejection_a.v:67-91`).
+
+    max_skips: compaction passes. The default 12 keeps P[budget miss]
+    < 1e-20/poly — right for the expansion paths (expand_sk,
+    build_operators, verify) that run once per key and DISCARD the ok
+    flag. Keygen, which checks ok on every call, passes 8 (P < 5e-13/poly
+    — ~1 flagged key per 10^11, never silently wrong) to shave a third of
+    the compaction passes on its hot path.
     """
     batch = rho.shape[:-1]
     K, L = p.K, p.L
@@ -219,11 +228,10 @@ def expand_a(rho: jnp.ndarray, p: DilithiumParams) -> Tuple[jnp.ndarray, jnp.nda
     words = keccak.shake128_words(msgs, nbytes // 4)  # [..., K*L, nbytes/4]
     cand = unpack_bits_w(words, 24) & jnp.uint32(0x7FFFFF)
     accept = cand < jnp.uint32(Q)
-    # reject rate 8191/2^23 ~ 1e-3: 8 skips cover the window with
-    # P[>8 rejects in 264 consumed] < 5e-13/poly — ~1 flagged key per
-    # 10^11, reported via ok, never silently wrong (16x faster than the
-    # scatter compaction here; passes scale linearly with the budget)
-    out, ok = _rank_compact_sparse(cand, accept, N, max_skips=8)
+    # reject rate 8191/2^23 ~ 1e-3 (16x faster than the scatter
+    # compaction here; passes scale linearly with max_skips — see
+    # docstring for the budget/caller contract)
+    out, ok = _rank_compact_sparse(cand, accept, N, max_skips=max_skips)
     return out.reshape(batch + (K, L, N)), jnp.all(ok, axis=-1)
 
 

@@ -24,8 +24,15 @@ _i32p = ctypes.POINTER(ctypes.c_int32)
 
 @lru_cache(maxsize=1)
 def _lib() -> ctypes.CDLL:
-    if not os.path.exists(_LIB_PATH):
+    # Always invoke make (incremental no-op when current): a stale .so
+    # from before a C-ABI addition would otherwise fail symbol resolution
+    # below for EVERY oracle entry point. If the toolchain is unavailable
+    # but a built library exists, fall through and try it.
+    try:
         subprocess.run(["make", "-s", "-C", _CPP_DIR, "liboracle.so"], check=True)
+    except (OSError, subprocess.CalledProcessError):
+        if not os.path.exists(_LIB_PATH):
+            raise
     lib = ctypes.CDLL(_LIB_PATH)
     for name in ("oracle_pk_bytes", "oracle_sk_bytes", "oracle_sig_bytes"):
         getattr(lib, name).restype = ctypes.c_int
@@ -112,6 +119,10 @@ def crh_batch(trs: np.ndarray, messages, nthreads: int = 0) -> np.ndarray:
     lib = _lib()
     n = len(messages)
     trs = np.ascontiguousarray(trs, dtype=np.uint8)
+    if trs.shape[-1] != 32 or trs.ndim not in (1, 2):
+        # native code reads exactly 32 bytes per row — reject anything
+        # else here rather than read out of bounds
+        raise ValueError(f"trs must be [32] or [n, 32] bytes; got {trs.shape}")
     tr_stride = 0 if trs.ndim == 1 else 32
     if tr_stride and trs.shape[0] != n:
         raise ValueError(f"trs rows {trs.shape[0]} != {n} messages")

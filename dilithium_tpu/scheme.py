@@ -63,7 +63,10 @@ def keygen(seed: jnp.ndarray, p: DilithiumParams) -> KeyPair:
     sigma = seedbuf[..., SEEDBYTES:SEEDBYTES + CRHBYTES]
     key = seedbuf[..., SEEDBYTES + CRHBYTES:]
 
-    a_hat, ok_a = sampling.expand_a(rho, p)
+    # max_skips=8: keygen CHECKS the ok flag every call, so the tighter
+    # budget is safe here (and a third fewer compaction passes); the
+    # flag-discarding expansion paths keep expand_a's safer default
+    a_hat, ok_a = sampling.expand_a(rho, p, max_skips=8)
     # one fused ExpandS over nonces 0..L+K-1 (s1 then s2 — identical to
     # the reference's sequential nonce walk, `gen_s.v:115-155`); a single
     # XOF kernel + compaction over L+K polys instead of two launches

@@ -64,7 +64,7 @@ def main():
     mu = jnp.asarray(rng.integers(0, 256, (W, 64), dtype=np.uint8))
     rp = jnp.asarray(rng.integers(0, 256, (W, CRHBYTES), dtype=np.uint8))
     kappa = jnp.asarray(np.arange(W, dtype=np.uint32) * p.L)
-    sync(ops.wy_limbs)
+    sync(ops.wy_cat)
 
     report("attempt body (full)",
            timeit(jax.jit(lambda m, r, k: mxu._sign_attempt_mxu(ops, m, r, k, p)),
