@@ -71,6 +71,23 @@ def test_fused_xof_matches_hashlib(msg_len, out_words, rate):
 
 
 @tpu_only
+def test_sha3_pallas_impl_matches_hashlib(monkeypatch):
+    """SHA3 fixed-output modes through the fused kernel (domain 0x06)."""
+    import hashlib
+
+    monkeypatch.setattr(keccak, "_IMPL", "pallas")
+    for fn, href, mlen in (
+        (keccak.sha3_256, hashlib.sha3_256, 135),
+        (keccak.sha3_512, hashlib.sha3_512, 73),
+    ):
+        msgs = RNG.integers(0, 256, size=(130, mlen), dtype=np.uint8)
+        got = np.asarray(fn(jnp.asarray(msgs)))
+        for i in (0, 17, 129):
+            exp = np.frombuffer(href(msgs[i].tobytes()).digest(), dtype=np.uint8)
+            np.testing.assert_array_equal(got[i], exp, err_msg=f"lane {i}")
+
+
+@tpu_only
 @pytest.mark.parametrize("level", [2, 3, 5])
 def test_ball_pallas_matches_jnp(level, monkeypatch):
     from dilithium_tpu.params import get_params
