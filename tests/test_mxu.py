@@ -136,3 +136,31 @@ def test_verify_expanded_matches_generic(key_ctx):
     assert not np.asarray(
         scheme.verify_expanded(epk, jnp.asarray(bad), mus, p)
     ).any()
+
+
+def test_key_operator_views_consistent(key_ctx):
+    """The slicing properties (wy_limbs/s1_mat/s2_mat/t0_lo/t0_hi) must
+    tile the stored concatenations exactly — the split/cat matmul
+    groupings read the same bytes."""
+    p, kp, ek, ops = key_ctx
+    ln, kn = p.L * 256, p.K * 256
+    wy = np.asarray(ops.wy_cat)
+    assert wy.shape == (ln, 3 * kn)
+    limbs = np.asarray(ops.wy_limbs)
+    for j in range(3):
+        np.testing.assert_array_equal(limbs[j], wy[:, j * kn:(j + 1) * kn])
+    cc = np.asarray(ops.c_cat)
+    assert cc.shape == (256, ln + 3 * kn)
+    np.testing.assert_array_equal(np.asarray(ops.s1_mat), cc[:, :ln])
+    np.testing.assert_array_equal(np.asarray(ops.s2_mat), cc[:, ln:ln + kn])
+    np.testing.assert_array_equal(
+        np.asarray(ops.t0_lo), cc[:, ln + kn:ln + 2 * kn]
+    )
+    np.testing.assert_array_equal(np.asarray(ops.t0_hi), cc[:, ln + 2 * kn:])
+    # and the limb recombination reconstructs centered W entries exactly
+    w_full = (
+        limbs[0].astype(np.int64)
+        + 256 * limbs[1].astype(np.int64)
+        + 65536 * limbs[2].astype(np.int64)
+    )
+    assert np.abs(w_full).max() <= (Q - 1) // 2
