@@ -89,17 +89,19 @@ def _rank_compact_sparse(
 def _rank_compact_onehot(
     cand: jnp.ndarray, accept: jnp.ndarray, n_out: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Compact accepted candidates via a one-hot compare-and-reduce.
+    """Compact accepted candidates via a FULL-window one-hot compare-reduce.
 
     out[i] = the unique candidate with accept and rank == i — computed as
     a [..., n_out, n_cand] broadcast compare that XLA fuses into its
-    reduction without materializing. The right tool at DENSE rejection
-    rates (eta sampling, 7/16 rejects), where `_rank_compact_sparse`'s
-    skip budget forces ~400 shifted window passes and goes HBM-bound
-    re-reading the candidate window: measured (v5e-1, B=16384, eta=4,
-    [B, 5..6, 816] -> 256) 152-185 ms for sparse vs ~13 ms for this form
-    — the same one-hot shape that won in `pack_hints`. ok reports budget
-    sufficiency exactly as the other compactions do.
+    reduction without materializing. The right shape class at DENSE
+    rejection rates (eta sampling, 7/16 rejects), where
+    `_rank_compact_sparse`'s skip budget forces ~400 shifted window
+    passes and goes HBM-bound: measured (v5e-1, B=16384, eta=4,
+    [B, 5..6, 816] -> 256) 152-185 ms for sparse vs ~13 ms for this form.
+    The PRODUCTION eta path now uses `_rank_compact_onehot_banded` (same
+    semantics, 2.2x fewer compares); this full-window form is its exact
+    differential oracle (tests/test_sampling.py) and the general-purpose
+    fallback for rates/shapes without a derived band.
     """
     acc = accept.astype(_I32)
     rank = jnp.cumsum(acc, axis=-1) - acc
