@@ -45,6 +45,38 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def init_backend(retries=3, delay=20.0):
+    """Resolve the default JAX device, retrying transient tunnel outages.
+
+    Round 4 ended with BENCH_r04.json rc=1/parsed=null because
+    jax.devices() raised straight through main() during a tunnel outage.
+    The driver runs this unattended and records the one stdout line; on
+    persistent failure we must still emit parseable JSON (VERDICT r4 #2).
+    """
+    import jax
+    last = None
+    for i in range(retries):
+        try:
+            return jax.devices()[0]
+        except Exception as e:  # RuntimeError from backend init, mostly
+            last = e
+            log(f"backend init attempt {i + 1}/{retries} failed: {e}")
+            if i + 1 < retries:
+                time.sleep(delay)
+    level = int(os.environ.get("DILITHIUM_BENCH_LEVEL", "3"))
+    mode = os.environ.get("DILITHIUM_BENCH_MODE", "mxu")
+    op = "verify" if mode == "verify" else "sign"
+    print(json.dumps({
+        "metric": f"dilithium{level}_{op}_throughput",
+        "value": None,
+        "unit": f"{op}s/sec" if op == "sign" else "verifies/sec",
+        "vs_baseline": None,
+        "error": "backend_unavailable",
+        "detail": str(last)[:200],
+    }))
+    sys.exit(1)
+
+
 def sync(x):
     """Force completion of all queued device work.
 
@@ -65,7 +97,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
     from dilithium_tpu import params, scheme
 
-    dev = jax.devices()[0]
+    dev = init_backend()
     log(f"device: {dev} ({dev.platform})")
     level = int(os.environ.get("DILITHIUM_BENCH_LEVEL", "3"))
     p = params.get_params(level)
@@ -158,10 +190,14 @@ def main():
         sync(eks.a_hat)
         log(f"keygen+expand({nkeys} keys) compile+run: {time.time() - t0:.1f}s")
         key_idx = jnp.asarray(rng.integers(0, nkeys, size=(batch,)).astype(np.int32))
+        # A/B lever for the key-gather tax (VERDICT r4 #5): sort the queue
+        # by key so steady-state gather indices coalesce
+        sort_keys = os.environ.get("DILITHIUM_BENCH_KEYS_SORT", "0") == "1"
 
         def run(mu):
             res = scheme.sign_stream_keys(
-                eks, key_idx, mu, p, window=window, max_rounds=8192
+                eks, key_idx, mu, p, window=window, max_rounds=8192,
+                sort_by_key=sort_keys,
             )
             return res.sig, res.ok, res.attempts
     elif mode == "stream":

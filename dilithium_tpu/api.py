@@ -17,11 +17,15 @@ from __future__ import annotations
 
 import hashlib
 import os
+import subprocess
+import warnings
 from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+_CRH_FALLBACK_WARNED = False
 
 from dilithium_tpu import scheme
 from dilithium_tpu.params import TRBYTES, CRHBYTES, SEEDBYTES, DilithiumParams, get_params
@@ -74,8 +78,20 @@ def compute_mu_many(trs, messages: Sequence[Bytes]) -> np.ndarray:
         try:
             from dilithium_tpu import oracle
             return oracle.crh_batch(trs_arr, messages)
-        except Exception:
-            pass  # no native toolchain: hashlib fallback below
+        except (OSError, subprocess.CalledProcessError, AttributeError) as e:
+            # Only expected-unavailability errors reach the fallback (no
+            # toolchain / failed build / stale .so missing the symbol);
+            # genuine crh_batch failures must propagate, not be silently
+            # papered over by hashlib (ADVICE r4). Warn once per process.
+            global _CRH_FALLBACK_WARNED
+            if not _CRH_FALLBACK_WARNED:
+                _CRH_FALLBACK_WARNED = True
+                warnings.warn(
+                    f"native crh_batch unavailable ({e!r}); falling back to "
+                    "per-message hashlib (slower serving path)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return np.stack([
         np.frombuffer(compute_mu(t, m), dtype=np.uint8)
         for t, m in zip(tr_list, messages)

@@ -25,6 +25,7 @@ budget — see `_rank_compact_sparse`.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -40,6 +41,31 @@ from dilithium_tpu.ops.reduce import uncenter
 _U8 = jnp.uint8
 _U32 = jnp.uint32
 _I32 = jnp.int32
+
+
+def debug_check_ok(ok: jnp.ndarray, what: str) -> None:
+    """Debug-mode guard for expansion paths that DISCARD sampler ok flags.
+
+    expand_sk / expand_pk / verify / mxu.build_*_operators run expand_a
+    once per key and drop its budget flag (P[miss] < 1e-17 at the default
+    budgets — see `expand_a` docstring); a miss there would yield silently
+    wrong key material (ADVICE r4). With DILITHIUM_DEBUG_CHECKS=1 those
+    sites surface any miss as a host-side RuntimeError via debug.callback
+    (works under jit); unset, this traces to nothing and costs zero.
+    """
+    if not os.environ.get("DILITHIUM_DEBUG_CHECKS"):
+        return
+
+    def _raise(ok_host):
+        import numpy as _np
+        if not _np.all(ok_host):
+            raise RuntimeError(
+                f"sampler fixed-budget miss in {what} "
+                f"({int((~_np.asarray(ok_host)).sum())} lanes) — "
+                "result would be silently wrong; raise the block budget"
+            )
+
+    jax.debug.callback(_raise, ok)
 
 
 def _le16(n: jnp.ndarray) -> jnp.ndarray:

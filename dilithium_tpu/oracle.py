@@ -27,9 +27,22 @@ def _lib() -> ctypes.CDLL:
     # Always invoke make (incremental no-op when current): a stale .so
     # from before a C-ABI addition would otherwise fail symbol resolution
     # below for EVERY oracle entry point. If the toolchain is unavailable
-    # but a built library exists, fall through and try it.
+    # but a built library exists, fall through and try it. The build is
+    # serialized with an flock: `pytest -n 4` workers each call _lib() on
+    # first use, and concurrent `make` runs can link over each other's
+    # half-written .so (ADVICE r4). Lock lives outside cpp/ so `make
+    # clean` can't remove it mid-hold.
     try:
-        subprocess.run(["make", "-s", "-C", _CPP_DIR, "liboracle.so"], check=True)
+        import fcntl
+        lock_path = os.path.join(_CPP_DIR, os.pardir, ".oracle_build.lock")
+        with open(lock_path, "w") as lock_f:
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+            try:
+                subprocess.run(
+                    ["make", "-s", "-C", _CPP_DIR, "liboracle.so"], check=True
+                )
+            finally:
+                fcntl.flock(lock_f, fcntl.LOCK_UN)
     except (OSError, subprocess.CalledProcessError):
         if not os.path.exists(_LIB_PATH):
             raise
@@ -126,12 +139,18 @@ def crh_batch(trs: np.ndarray, messages, nthreads: int = 0) -> np.ndarray:
     tr_stride = 0 if trs.ndim == 1 else 32
     if tr_stride and trs.shape[0] != n:
         raise ValueError(f"trs rows {trs.shape[0]} != {n} messages")
-    lens = np.fromiter(map(len, messages), dtype=np.int64, count=n)
+    # Convert each message to bytes ONCE and derive BOTH lengths and the
+    # joined blob from the converted form: for a memoryview/ndarray with
+    # itemsize > 1 (legal per the public Bytes type), len(m) counts
+    # elements while bytes(m) yields itemsize*len(m) bytes — mixing the
+    # two would misalign every subsequent offset (ADVICE r4, medium).
+    bs = [m if type(m) is bytes else bytes(m) for m in messages]
+    lens = np.fromiter(map(len, bs), dtype=np.int64, count=n)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     # b"".join packs at C speed — a bytearray slice-assignment loop here
     # costs more than the hashing itself at 16k messages
-    blob = b"".join(bytes(m) for m in messages)
+    blob = b"".join(bs)
     msgs = np.frombuffer(blob, dtype=np.uint8) if blob else np.zeros(1, dtype=np.uint8)
     mus = np.zeros((n, 64), dtype=np.uint8)
     lib.oracle_crh_batch(

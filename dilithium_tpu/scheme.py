@@ -131,7 +131,8 @@ class ExpandedKey(NamedTuple):
 def expand_sk(sk: jnp.ndarray, p: DilithiumParams) -> ExpandedKey:
     """Unpack sk and precompute all NTT-domain key material."""
     rho, key, tr, s1, s2, t0 = pack.unpack_sk(sk, p)
-    a_hat, _ = sampling.expand_a(rho, p)
+    a_hat, ok_a = sampling.expand_a(rho, p)
+    sampling.debug_check_ok(ok_a, "expand_sk.expand_a")
     return ExpandedKey(
         a_hat=a_hat,
         s1_hat=ntt.ntt(s1),
@@ -382,7 +383,7 @@ def sign_stream(
     return _stream_loop(attempt, mu, rhoprime, p, W, max_rounds)
 
 
-@partial(jax.jit, static_argnames=("p", "window", "max_rounds"))
+@partial(jax.jit, static_argnames=("p", "window", "max_rounds", "sort_by_key"))
 def sign_stream_keys(
     eks: ExpandedKey,
     key_idx: jnp.ndarray,
@@ -391,6 +392,7 @@ def sign_stream_keys(
     window: int = 768,
     max_rounds: int = 8192,
     rhoprime: jnp.ndarray | None = None,
+    sort_by_key: bool = False,
 ) -> SignResult:
     """Elastic stream signing of a message queue under MANY keys.
 
@@ -409,6 +411,13 @@ def sign_stream_keys(
     The per-round cost over `sign_stream` is the W-row gather of key
     material (~47 KB/slot at level 3) — HBM-bandwidth bound, small against
     the attempt compute.
+
+    sort_by_key: pre-sort the QUEUE by key index (stable) before streaming
+    and un-permute the results after, so the steady-state window holds
+    runs of same-key slots and per-round `eks` row gathers hit coalesced
+    indices. Per-message results are bit-identical either way (each
+    message's kappa schedule is its own). A/B lever for the key-gather
+    tax (VERDICT r4 #5).
     """
     Q = mu.shape[0]
     W = min(window, Q)
@@ -423,6 +432,13 @@ def sign_stream_keys(
     else:
         validate_rhoprime(rhoprime, mu.shape)
 
+    order = None
+    if sort_by_key:
+        order = jnp.argsort(key_idx, stable=True)  # queue order within key
+        mu = jnp.take(mu, order, axis=0)
+        rhoprime = jnp.take(rhoprime, order, axis=0)
+        key_idx = jnp.take(key_idx, order)
+
     def attempt(mu_s, rp_s, kappa_s, q_s):
         kidx = jnp.take(key_idx, q_s)  # [W]
         a_hat = jnp.take(eks.a_hat, kidx, axis=0)
@@ -433,7 +449,15 @@ def sign_stream_keys(
             a_hat, s1_hat, s2_hat, t0_hat, mu_s, rp_s, kappa_s, p
         )
 
-    return _stream_loop(attempt, mu, rhoprime, p, W, max_rounds)
+    res = _stream_loop(attempt, mu, rhoprime, p, W, max_rounds)
+    if order is None:
+        return res
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(Q, dtype=order.dtype))
+    return SignResult(
+        jnp.take(res.sig, inv, axis=0),
+        jnp.take(res.attempts, inv),
+        jnp.take(res.ok, inv),
+    )
 
 
 def _stream_loop(attempt_fn, mu, rhoprime, p, W, max_rounds) -> SignResult:
@@ -703,7 +727,8 @@ def verify(pk: jnp.ndarray, sig: jnp.ndarray, mu: jnp.ndarray, p: DilithiumParam
     path, `mxu.verify_mxu`) so ExpandA runs once, not once per lane.
     """
     rho, t1 = pack.unpack_pk(pk, p)
-    a_hat, _ = sampling.expand_a(rho, p)
+    a_hat, ok_a = sampling.expand_a(rho, p)
+    sampling.debug_check_ok(ok_a, "verify.expand_a")
     t1_hat = ntt.ntt(t1.astype(_U32) << D)  # t1*2^13 <= q-1: stays canonical
     return _verify_core(a_hat, t1_hat, sig, mu, p)
 
@@ -724,7 +749,8 @@ class ExpandedPk(NamedTuple):
 def expand_pk(pk: jnp.ndarray, p: DilithiumParams) -> ExpandedPk:
     """Unpack pk and precompute all NTT-domain verification material."""
     rho, t1 = pack.unpack_pk(pk, p)
-    a_hat, _ = sampling.expand_a(rho, p)
+    a_hat, ok_a = sampling.expand_a(rho, p)
+    sampling.debug_check_ok(ok_a, "expand_pk.expand_a")
     t1_hat = ntt.ntt(t1.astype(_U32) << D)
     tr = keccak.shake256(pk, TRBYTES)
     return ExpandedPk(a_hat=a_hat, t1_hat=t1_hat, tr=tr)

@@ -108,3 +108,44 @@ def test_crh_batch_matches_hashlib():
     h.update(trs[0].tobytes())
     h.update(msgs[3])
     assert mus1[3].tobytes() == h.digest(64)
+
+
+def test_crh_batch_wide_itemsize_messages():
+    """Offsets must come from the CONVERTED byte length, not len(m):
+    a memoryview/ndarray with itemsize > 1 has len(m) = element count but
+    bytes(m) = itemsize * len(m) bytes (ADVICE r4 medium — mixing the two
+    misaligned every message after the first wide one)."""
+    import hashlib
+    from dilithium_tpu import oracle
+
+    rng = np.random.default_rng(7)
+    tr = rng.integers(0, 256, 32, dtype=np.uint8).tobytes()
+    wide = rng.integers(0, 2**31, 37, dtype=np.int64)  # 37 elems, 296 bytes
+    msgs = [
+        rng.integers(0, 256, 100, dtype=np.uint8).tobytes(),
+        memoryview(wide),                  # itemsize 8: len() != nbytes
+        wide,                              # ndarray directly (buffer proto)
+        rng.integers(0, 256, 55, dtype=np.uint8).tobytes(),
+    ]
+    mus = oracle.crh_batch(np.frombuffer(tr, dtype=np.uint8), msgs)
+    for i, m in enumerate(msgs):
+        h = hashlib.shake_256()
+        h.update(tr)
+        h.update(bytes(m))
+        assert mus[i].tobytes() == h.digest(64), i
+
+
+def test_compute_mu_many_wide_itemsize_matches_hashlib_path():
+    """api.compute_mu_many must agree between the native crh_batch branch
+    (n >= 64) and the hashlib loop (n < 64) for wide-itemsize inputs."""
+    from dilithium_tpu import api
+
+    rng = np.random.default_rng(8)
+    tr = rng.integers(0, 256, 32, dtype=np.uint8).tobytes()
+    msgs = [memoryview(rng.integers(0, 2**31, 5, dtype=np.int64))
+            for _ in range(70)]
+    big = api.compute_mu_many(tr, msgs)          # native branch
+    small = np.stack([
+        np.frombuffer(api.compute_mu(tr, m), dtype=np.uint8) for m in msgs
+    ])
+    np.testing.assert_array_equal(big, small)

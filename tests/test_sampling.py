@@ -168,3 +168,26 @@ def test_sample_in_ball_matches_serial(level):
     for lane in range(16):
         exp = _sample_in_ball_serial(ct[lane].tobytes(), p)
         np.testing.assert_array_equal(c[lane], exp, err_msg=f"lane {lane}")
+
+
+def test_debug_check_ok_guard(monkeypatch):
+    """DILITHIUM_DEBUG_CHECKS=1 surfaces a budget miss on flag-discarding
+    paths as a host-side error; unset, the guard traces to nothing."""
+    import jax
+
+    ok_bad = jnp.asarray([True, False])
+    # unset: no-op even for a False flag
+    monkeypatch.delenv("DILITHIUM_DEBUG_CHECKS", raising=False)
+    sampling.debug_check_ok(ok_bad, "noop")
+    # set: raises through the jitted computation
+    monkeypatch.setenv("DILITHIUM_DEBUG_CHECKS", "1")
+
+    @jax.jit
+    def f(ok):
+        sampling.debug_check_ok(ok, "unit-test")
+        return ok
+
+    with pytest.raises(Exception, match="unit-test"):
+        jax.block_until_ready(f(ok_bad))
+    # all-ok passes clean
+    jax.block_until_ready(f(jnp.asarray([True, True])))

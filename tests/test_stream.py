@@ -92,6 +92,17 @@ def test_stream_keys_matches_sign(ctx, window):
     ok = scheme.verify(jnp.take(kps.pk, key_idx, axis=0), res.sig, mus, p)
     assert np.asarray(ok).all()
 
+    # sort_by_key (queue pre-sorted by key, results un-permuted) must be
+    # bit-identical: signatures, attempts AND ordering
+    res_s = scheme.sign_stream_keys(
+        eks, key_idx, mus, p, window=window, max_rounds=512, sort_by_key=True
+    )
+    np.testing.assert_array_equal(np.asarray(res_s.sig), np.asarray(ref.sig))
+    np.testing.assert_array_equal(
+        np.asarray(res_s.attempts), np.asarray(ref.attempts)
+    )
+    assert np.asarray(res_s.ok).all()
+
 
 def test_shared_rhoprime_rejected(ctx):
     """A rhoprime that would broadcast across messages must be rejected:

@@ -67,8 +67,12 @@ def main():
             a_hat, _ = sampling.expand_a(rho, p)
             if stage == 1:
                 return a_hat
-            s1, _ = sampling.expand_s(sigma, 0, p.L, p)
-            s2, _ = sampling.expand_s(sigma, p.L, p.K, p)
+            # one fused ExpandS over nonces 0..L+K-1 — matches production
+            # keygen (`scheme.keygen`), so the stage-2 marginal is the
+            # shipped banded-compaction cost
+            s12, _ = sampling.expand_s(sigma, 0, p.L + p.K, p)
+            s1 = s12[..., :p.L, :]
+            s2 = s12[..., p.L:, :]
             if stage == 2:
                 return s1, s2, a_hat
             t = ntt.invntt(ntt.matvec(a_hat, ntt.ntt(s1)), from_product=True)

@@ -22,7 +22,7 @@ Prints one JSON line to stdout ({"kat_tpu": "ok"|"FAIL", ...}); detail to
 stderr. Exit code 0 iff everything matched. Run next to bench.py every
 round; record the JSON as KAT_TPU_r{N}.json.
 
-Env: DILITHIUM_TPU_KAT_COUNT (default 8 vectors/level),
+Env: DILITHIUM_TPU_KAT_COUNT (default 25 vectors/level),
 DILITHIUM_TPU_KAT_STREAM_Q (default 16 queue rows for the stream signer).
 """
 
@@ -44,6 +44,27 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def init_backend(retries=3, delay=20.0):
+    """jax.devices() with bounded retry; on persistent outage emit one
+    parseable JSON line and exit nonzero instead of a raw traceback
+    (same hardening as bench.py, VERDICT r4 #2)."""
+    last = None
+    for i in range(retries):
+        try:
+            return jax.devices()[0]
+        except Exception as e:
+            last = e
+            log(f"backend init attempt {i + 1}/{retries} failed: {e}")
+            if i + 1 < retries:
+                time.sleep(delay)
+    print(json.dumps({
+        "kat_tpu": "ERROR",
+        "error": "backend_unavailable",
+        "detail": str(last)[:200],
+    }))
+    sys.exit(1)
+
+
 def main() -> int:
     jax.config.update(
         "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
@@ -52,9 +73,9 @@ def main() -> int:
     from dilithium_tpu.ops import pack
     from dilithium_tpu.utils import kat
 
-    count = int(os.environ.get("DILITHIUM_TPU_KAT_COUNT", "8"))
+    count = int(os.environ.get("DILITHIUM_TPU_KAT_COUNT", "25"))
     stream_q = int(os.environ.get("DILITHIUM_TPU_KAT_STREAM_Q", "16"))
-    dev = jax.devices()[0]
+    dev = init_backend()
     backend = dev.platform
     log(f"device: {dev} ({backend}), {count} vectors/level, "
         f"stream queue {stream_q}")
