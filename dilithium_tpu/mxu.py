@@ -31,7 +31,6 @@ per key would be 5.9 MB/key).
 
 from __future__ import annotations
 
-import os
 from functools import partial
 from typing import NamedTuple
 
@@ -39,11 +38,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# A/B switch for the in-loop matmul grouping: "cat" evaluates the 9 W_y
-# limb products as 3 dots against a [L*N, 3*K*N] concatenation and the 4
-# c-side products (cs1/cs2/ct0_lo/ct0_hi) as 1 dot against a
-# [N, (L+3K)*N] concatenation — fewer kernel launches, same FLOPs.
-_MATMUL_GROUPING = os.environ.get("DILITHIUM_MXU_GROUPING", "cat")
+# In-loop matmul grouping: the signer always uses the "cat" form — the 9
+# W_y limb products as 3 dots against a [L*N, 3*K*N] concatenation and
+# the 4 c-side products (cs1/cs2/ct0_lo/ct0_hi) as 1 dot against a
+# [N, (L+3K)*N] concatenation — fewer kernel launches, same FLOPs. The
+# 9-dot "split" form survives as the wy_limbs-argument path of _apply_wy
+# (the verify path uses it via VerifyOperators.wz_limbs; tests pin both
+# forms equal). The old DILITHIUM_MXU_GROUPING env A/B was read at import
+# time and therefore silently inert when set late — removed (VERDICT r4).
 
 from dilithium_tpu.params import Q, N, D, CRHBYTES, TRBYTES, DilithiumParams
 from dilithium_tpu import scheme
@@ -157,7 +159,8 @@ def _wy_limbs_from_ahat(a_hat: jnp.ndarray, p: DilithiumParams) -> jnp.ndarray:
 def build_operators(sk: jnp.ndarray, p: DilithiumParams) -> KeyOperators:
     """Expand one UNBATCHED sk into dense MXU operators."""
     rho, key, tr, s1, s2, t0 = pack.unpack_sk(sk, p)
-    a_hat, _ = sampling.expand_a(rho, p)
+    a_hat, ok_a = sampling.expand_a(rho, p)
+    sampling.debug_check_ok(ok_a, "build_operators.expand_a")
     L, K = p.L, p.K
 
     wy_limbs = _wy_limbs_from_ahat(a_hat, p)
@@ -239,7 +242,7 @@ def _apply_wy(
 
     Pass wy_cat (and wy_limbs=None) for the 3-wide-dot grouping, or
     wy_limbs [3, L*N, K*N] alone for the 9-dot split form (the verify
-    path and the DILITHIUM_MXU_GROUPING=split A/B)."""
+    path; pinned equal to the cat form in tests/test_mxu.py)."""
     yc = center(y)  # int32, |.| <= q/2
     y0 = ((yc + 128) % 256) - 128
     r = (yc - y0) >> 8
@@ -247,7 +250,7 @@ def _apply_wy(
     y2 = (r - y1) >> 8
     ylimbs = [y0.astype(_I8), y1.astype(_I8), y2.astype(_I8)]
     prods = {}  # power -> int32 sum
-    if wy_cat is not None and _MATMUL_GROUPING == "cat":
+    if wy_cat is not None:
         # 3 wide dots (limb i of y against ALL weight limbs at once)
         kn = wy_cat.shape[-1] // 3
         for i in range(3):
@@ -274,8 +277,7 @@ def _sign_attempt_mxu(ops: KeyOperators, mu, rhoprime, kappa, p: DilithiumParams
     L, K = p.L, p.K
     y = sampling.expand_mask(rhoprime, kappa, p)  # [B, L, 256]
     y_flat = y.reshape(B, L * N)
-    wy_l = None if _MATMUL_GROUPING == "cat" else ops.wy_limbs
-    w = _apply_wy(y_flat, wy_l, p, ops.wy_cat).reshape(B, K, N)
+    w = _apply_wy(y_flat, None, p, ops.wy_cat).reshape(B, K, N)
     w1, w0 = rounding.decompose(w, p)
 
     w1_packed = pack.pack_w1(w1, p).reshape(B, K * p.polyw1_packedbytes)
@@ -285,18 +287,12 @@ def _sign_attempt_mxu(ops: KeyOperators, mu, rhoprime, kappa, p: DilithiumParams
     c, ok_ball = sampling.sample_in_ball(c_tilde, p)  # canonical {0,1,q-1}
     c_i8 = center(c).astype(_I8)  # {0, +-1}
 
-    if _MATMUL_GROUPING == "cat":
-        ln, kn = L * N, K * N
-        prod = _dot_i8(c_i8, ops.c_cat)  # [B, (L+3K)*N]
-        cs1 = prod[..., :ln].reshape(B, L, N)         # int32, |.| <= beta
-        cs2 = prod[..., ln:ln + kn].reshape(B, K, N)  # |.| <= beta
-        ct0_lo = prod[..., ln + kn:ln + 2 * kn]
-        ct0_hi = prod[..., ln + 2 * kn:]
-    else:
-        cs1 = _dot_i8(c_i8, ops.s1_mat).reshape(B, L, N)
-        cs2 = _dot_i8(c_i8, ops.s2_mat).reshape(B, K, N)
-        ct0_lo = _dot_i8(c_i8, ops.t0_lo)
-        ct0_hi = _dot_i8(c_i8, ops.t0_hi)
+    ln, kn = L * N, K * N
+    prod = _dot_i8(c_i8, ops.c_cat)  # [B, (L+3K)*N]
+    cs1 = prod[..., :ln].reshape(B, L, N)         # int32, |.| <= beta
+    cs2 = prod[..., ln:ln + kn].reshape(B, K, N)  # |.| <= beta
+    ct0_lo = prod[..., ln + kn:ln + 2 * kn]
+    ct0_hi = prod[..., ln + 2 * kn:]
 
     z = uncenter(center(y).astype(_I32) + cs1)
     rej_z = rounding.norm_exceeds(z, p.gamma1 - p.beta, axis=(-2, -1))
@@ -368,7 +364,8 @@ class VerifyOperators(NamedTuple):
 def build_verify_operators(pk: jnp.ndarray, p: DilithiumParams) -> VerifyOperators:
     """Expand one UNBATCHED pk into dense MXU verify operators."""
     rho, t1 = pack.unpack_pk(pk, p)
-    a_hat, _ = sampling.expand_a(rho, p)
+    a_hat, ok_a = sampling.expand_a(rho, p)
+    sampling.debug_check_ok(ok_a, "build_verify_operators.expand_a")
     wz_limbs = _wy_limbs_from_ahat(a_hat, p)
 
     # t1 << d <= q-1 stays canonical; conv matrix of the CENTERED values,

@@ -50,9 +50,18 @@ def main(argv=None) -> int:
     ap.add_argument("--window", type=int, default=768)
     ap.add_argument("--max-rounds", type=int, default=8192)
     ap.add_argument("--signer", default="mxu",
-                    choices=("mxu", "stream", "lockstep"),
+                    choices=("mxu", "stream", "lockstep", "keys"),
                     help="mxu: dense-operator elastic signer; stream: "
-                         "generic-NTT elastic signer; lockstep: scheme.sign")
+                         "generic-NTT elastic signer; lockstep: scheme.sign; "
+                         "keys: independent-keys elastic signer "
+                         "(sharded_sign_stream_keys, --nkeys distinct keys)")
+    ap.add_argument("--nkeys", type=int, default=4,
+                    help="distinct keys for --signer=keys")
+    ap.add_argument("--verify", action="store_true",
+                    help="after signing, run the sharded one-key verify "
+                         "service (sharded_verify_stream) on the produced "
+                         "signatures and report the global verified count "
+                         "(only meaningful for one-key signers)")
     ap.add_argument("--seed", type=int, default=0,
                     help="deterministic key + message seed (same on all hosts)")
     ap.add_argument("--out", default=None,
@@ -78,7 +87,7 @@ def main(argv=None) -> int:
     from dilithium_tpu import params, scheme
     from dilithium_tpu.parallel import (
         make_mesh, local_batch_to_global, sharded_sign, sharded_sign_stream,
-        throughput_counters,
+        sharded_sign_stream_keys, sharded_verify_stream, throughput_counters,
     )
 
     pid = jax.process_index()
@@ -93,12 +102,14 @@ def main(argv=None) -> int:
     log(f"devices: {ndev} global / {jax.local_device_count()} local; "
         f"mesh {mesh.shape}")
 
-    # One key, derived from --seed on every host identically (replicated
-    # key material; distinct-keys serving shards sk with the batch instead
-    # — `parallel.sharded_sign(replicate_key=False)`).
+    # Keys derived from --seed on every host identically: one key for the
+    # one-key signers (replicated expansion), --nkeys for the
+    # independent-keys service (batched ExpandedKey replicated, key_idx
+    # sharded with the queue).
     rng = np.random.default_rng(args.seed)
-    seed = jnp.asarray(rng.integers(0, 256, size=(32,), dtype=np.uint8))
-    kp = scheme.keygen(seed, p)
+    n_keys = args.nkeys if args.signer == "keys" else 1
+    seed = jnp.asarray(rng.integers(0, 256, size=(n_keys, 32), dtype=np.uint8))
+    kp = scheme.keygen(seed[0] if n_keys == 1 else seed, p)
 
     # The GLOBAL message queue is derived from the same rng on every host;
     # each host materializes only its contiguous shard. batch must divide
@@ -113,6 +124,16 @@ def main(argv=None) -> int:
     if args.signer == "lockstep":
         fn = sharded_sign(mesh, p, replicate_key=True)
         res = fn(kp.sk, mu)
+    elif args.signer == "keys":
+        # global key_idx derived from the shared rng; shard like mu
+        key_idx_global = rng.integers(0, n_keys, size=(B,)).astype(np.int32)
+        key_idx = local_batch_to_global(
+            mesh, key_idx_global[pid * per: (pid + 1) * per]
+        )
+        eks = scheme.expand_sk(kp.sk, p)
+        fn = sharded_sign_stream_keys(mesh, p, window=args.window,
+                                      max_rounds=args.max_rounds)
+        res = fn(eks, key_idx, mu)
     else:
         use_mxu = args.signer == "mxu"
         if use_mxu:
@@ -129,6 +150,24 @@ def main(argv=None) -> int:
         f"mean attempts {counters['mean_attempts']:.2f}, "
         f"{elapsed:.1f}s (incl. compile)")
 
+    verified = None
+    if args.verify:
+        if args.signer == "keys":
+            # per-row pk matching the sharded key_idx
+            from dilithium_tpu.parallel import sharded_verify
+            pk_rows = local_batch_to_global(
+                mesh,
+                np.asarray(kp.pk)[key_idx_global[pid * per: (pid + 1) * per]],
+            )
+            _, total_v = sharded_verify(mesh, p)(pk_rows, res.sig, mu)
+        else:
+            # one-key verify service: dense MXU operators replicated
+            from dilithium_tpu import mxu
+            vops = mxu.build_verify_operators(kp.pk, p)
+            _, total_v = sharded_verify_stream(mesh, p)(vops, res.sig, mu)
+        verified = int(total_v)
+        log(f"verified {verified}/{B} globally")
+
     # this host's local output shard, in queue order (addressable_shards
     # carries no ordering guarantee — sort by global batch offset)
     shards = sorted(res.sig.addressable_shards, key=lambda s: s.index[0].start or 0)
@@ -142,6 +181,7 @@ def main(argv=None) -> int:
         "num_processes": nproc,
         "signed": counters["signed"],
         "attempts": counters["attempts"],
+        "verified": verified,
         "local_batch": int(mu_local.shape[0]),
         "global_batch": int(B),
         "elapsed_s": round(elapsed, 2),
