@@ -196,6 +196,155 @@ def _rank_compact_onehot_banded(
     return out, ok
 
 
+def _rank_compact_logshift(
+    cand: jnp.ndarray,
+    accept: jnp.ndarray,
+    n_out: int,
+    max_disp: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EXACT stream compaction in ceil(log2(n_cand)) shift-select passes.
+
+    Accepted element at position c must move left by its displacement
+    d = c - rank(c) = #rejects before it. Decompose d in binary and move
+    all elements simultaneously by 2^b at pass b (LSB->MSB), each pass a
+    static minor-axis shift + two selects. Collision-free: d is
+    non-decreasing in position, so current positions stay strictly
+    increasing through every pass — for neighbors i < j with
+    bit_b(d_j) = 1, bit_b(d_i) = 0, write d = H*2^(b+1) + bit_b*2^b + low
+    (low = already-executed bits): d_j >= d_i forces H_j >= H_i, and the
+    current gap q_j - q_i = (p_j - p_i) + low_i - low_j
+    >= (d_j - d_i + 1) + low_i - low_j = (H_j - H_i)*2^(b+1) + 2^b + 1
+    > 2^b, so j's move cannot cross or land on i.
+
+    Per-pass work is O(n_cand) selects TOTAL (vs the one-hot forms'
+    O(n_out * band) compare-select-accumulate area): at the eta=4 shape
+    (816 cand -> 256, ~5 band entries/output) that is ~10 x 816 element
+    ops vs ~82k x 3 — the compaction is compute-bound, so the op-count
+    ratio is the speedup ceiling. ok is EXACT coverage (state zero at
+    every output slot), not a sigma-band bound: False iff fewer than
+    n_out accepts — same semantics as `_rank_compact`.
+
+    max_disp: optional displacement budget. Truncates the candidate
+    window to n_out + max_disp and runs only bit_length(max_disp)
+    passes; an input needing more displacement (more than max_disp
+    rejects before the n_out-th accept) reads ok False — the same
+    budget-failure semantics as `_rank_compact_sparse(max_skips)`, at
+    the same O(n_cand) pass cost but ~3x fewer passes for rare-reject
+    streams (ExpandA: max_disp=15 is a >15-sigma budget at reject rate
+    2^-13+eps and needs 4 passes vs 13 shifted windows).
+    """
+    n_cand = cand.shape[-1]
+    if max_disp is not None and n_out + max_disp < n_cand:
+        n_cand = n_out + max_disp
+        cand = cand[..., :n_cand]
+        accept = accept[..., :n_cand]
+    acc_i = accept.astype(_I32)
+    rank = jnp.cumsum(acc_i, axis=-1) - acc_i
+    keep = accept & (rank < n_out)
+    # state = remaining displacement; holes carry INVALID (a high bit no
+    # displacement can reach, all shift bits clear -> holes never move)
+    INVALID = jnp.int32(1) << 30
+    pos = jnp.arange(n_cand, dtype=_I32)
+    st = jnp.where(keep, pos - rank, INVALID)
+    val = jnp.where(keep, cand, jnp.zeros((), dtype=cand.dtype))
+
+    # d is non-decreasing over accepts, so max d over KEPT accepts is the
+    # last one's: (pos of the n_out-th accept) - (n_out - 1)
+    # <= n_cand - n_out whenever coverage succeeds; shortfalls flag ok
+    # False regardless of how far uncovered elements moved.
+    nbits = max(1, (n_cand - n_out).bit_length())
+    fill_st = jnp.broadcast_to(INVALID, st.shape[:-1] + (1,))
+    fill_val = jnp.zeros(val.shape[:-1] + (1,), dtype=val.dtype)
+    for b in range(nbits):
+        sh = 1 << b
+        if sh >= n_cand:
+            break
+        st_s = jnp.concatenate(
+            [st[..., sh:], jnp.broadcast_to(fill_st, st.shape[:-1] + (sh,))],
+            axis=-1,
+        )
+        val_s = jnp.concatenate(
+            [val[..., sh:],
+             jnp.broadcast_to(fill_val, val.shape[:-1] + (sh,))],
+            axis=-1,
+        )
+        move_in = (st_s & sh) != 0          # shifted-in elt consumes bit b
+        stay = (st & sh) == 0               # incl. holes (stay as holes)
+        st = jnp.where(move_in, st_s - sh, jnp.where(stay, st, INVALID))
+        val = jnp.where(move_in, val_s,
+                        jnp.where(stay, val, jnp.zeros((), dtype=val.dtype)))
+    out = val[..., :n_out]
+    ok = jnp.all(st[..., :n_out] == 0, axis=-1)
+    return out, ok
+
+
+def _rank_compact_logshift_packed(
+    cand: jnp.ndarray,
+    accept: jnp.ndarray,
+    n_out: int,
+    val_bits: int,
+    p_accept: float | None = None,
+    sigmas: float = 8.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """`_rank_compact_logshift` with value and displacement PACKED into one
+    int32 word (st = d << val_bits | val): one array per pass instead of
+    two — half the per-pass traffic and selects. Requires every candidate
+    < 2^val_bits and nbits(n_cand) + val_bits <= 30 (bit 30 is the hole
+    marker). The eta nibbles (val_bits=4, d <= 1023) are the target shape.
+
+    p_accept (optional): truncate the candidate window to the +sigmas-sigma
+    sufficiency bound T = n_out/p + sigmas*sqrt(n_out*(1-p))/p before
+    compacting — the n_out-th accept lies beyond T with probability
+    ~Phi(-sigmas) (< 1e-15 at 8 sigma), in which case ok reads False
+    (budget-failure semantics, never silently wrong — identical to
+    running with a T-candidate budget). Max displacement shrinks to
+    T - n_out, cutting both the pass count and the per-pass width (eta=2:
+    544 x 10 passes -> 312 x 6).
+
+    Returns (out int32 [..., n_out] in [0, 2^val_bits), ok exact-coverage).
+    """
+    import math
+
+    n_cand = cand.shape[-1]
+    if p_accept is not None:
+        t = int(math.ceil(
+            n_out / p_accept
+            + sigmas * math.sqrt(n_out * (1.0 - p_accept)) / p_accept
+        )) + 2
+        if t < n_cand:
+            cand = cand[..., :t]
+            accept = accept[..., :t]
+            n_cand = t
+    # displacement of kept accepts <= n_cand - n_out after rank clamping
+    nbits = max(1, (n_cand - n_out).bit_length())
+    assert nbits + val_bits <= 30
+    acc_i = accept.astype(_I32)
+    rank = jnp.cumsum(acc_i, axis=-1) - acc_i
+    keep = accept & (rank < n_out)
+    INVALID = jnp.int32(1) << 30
+    pos = jnp.arange(n_cand, dtype=_I32)
+    st = jnp.where(
+        keep, ((pos - rank) << val_bits) | cand.astype(_I32), INVALID
+    )
+    fill = jnp.broadcast_to(INVALID, st.shape[:-1] + (1,))
+    for b in range(nbits):
+        sh = 1 << b
+        if sh >= n_cand:
+            break
+        shv = jnp.int32(sh << val_bits)
+        st_s = jnp.concatenate(
+            [st[..., sh:], jnp.broadcast_to(fill, st.shape[:-1] + (sh,))],
+            axis=-1,
+        )
+        move_in = (st_s & shv) != 0
+        stay = (st & shv) == 0  # holes: bit clear -> stay as holes
+        st = jnp.where(move_in, st_s - shv, jnp.where(stay, st, INVALID))
+    head = st[..., :n_out]
+    out = head & jnp.int32((1 << val_bits) - 1)
+    ok = jnp.all((head >> val_bits) == 0, axis=-1)
+    return out, ok
+
+
 def _rank_compact(cand: jnp.ndarray, accept: jnp.ndarray, n_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Compact accepted candidates (in order) to the first n_out slots.
 
@@ -289,23 +438,26 @@ def expand_s(
     # after compaction — order-preserving elementwise, so bit-identical,
     # and the compaction reduce moves 1/4 the bytes of the old
     # compact-the-mapped-uint32 form.
+    # Both eta rates use the packed log-shift compaction with an 8-sigma
+    # truncated window (r05): displacement-walk in ~log2 passes with the
+    # nibble packed into the displacement word. Measured v5e-1,
+    # B=16384x11 (`tools/compact_exp.py`): eta=4 2.60 us/key vs 5.32 for
+    # the banded one-hot vs ~31 for the general scatter; eta=2 1.28
+    # us/key vs 3.49 for the 64-skip sparse form. ok is exact coverage;
+    # an 8-sigma truncation miss (P < 1e-14/poly) reads as a budget
+    # failure, never a wrong value.
     if p.eta == 2:
         accept = nib < 15
-        # rejects before the 256th accept ~ NB(256, 15/16): mean 17, sd 4.3
-        # -> 64 skips is an 11-sigma budget (P[miss] ~ 1e-27/poly); sparse
-        # compaction still wins at this rate (few window passes)
-        out8, ok = _rank_compact_sparse(nib, accept, N, max_skips=64)
-        out = uncenter(jnp.int32(2) - (out8 % 5).astype(_I32))
+        out8, ok = _rank_compact_logshift_packed(
+            nib, accept, N, val_bits=4, p_accept=15 / 16
+        )
+        out = uncenter(jnp.int32(2) - (out8 % 5))
     else:
         accept = nib < 9
-        # 7/16 reject rate is DENSE: the sparse form would need ~400
-        # window passes (NB(256, 9/16) mean 199, sd 18.8) and goes
-        # HBM-bound; a one-hot compare-reduce is ~12x faster here, and
-        # the BANDED variant cuts its compare area a further 2.2x by
-        # slicing each output chunk's candidate window to the +-8-sigma
-        # negative-binomial band of its source positions.
-        out8, ok = _rank_compact_onehot_banded(nib, accept, N, p_accept=9 / 16)
-        out = uncenter(jnp.int32(4) - out8.astype(_I32))
+        out8, ok = _rank_compact_logshift_packed(
+            nib, accept, N, val_bits=4, p_accept=9 / 16
+        )
+        out = uncenter(jnp.int32(4) - out8)
     return out, jnp.all(ok, axis=-1)
 
 

@@ -191,3 +191,55 @@ def test_debug_check_ok_guard(monkeypatch):
         jax.block_until_ready(f(ok_bad))
     # all-ok passes clean
     jax.block_until_ready(f(jnp.asarray([True, True])))
+
+
+def test_rank_compact_logshift_matches_scatter():
+    """Log-shift displacement compaction == general scatter compaction at
+    every rate, including adversarial tails and shortfalls."""
+    for p_acc in (0.05, 0.3, 9 / 16, 0.9, 0.999):
+        acc = jnp.asarray(RNG.random((32, 816)) < p_acc)
+        c = jnp.asarray(
+            RNG.integers(0, 1 << 20, size=(32, 816), dtype=np.int64).astype(np.uint32)
+        )
+        ref, okr = sampling._rank_compact(c, acc, 256)
+        got, okg = sampling._rank_compact_logshift(c, acc, 256)
+        m = np.asarray(okr)
+        np.testing.assert_array_equal(np.asarray(got)[m], np.asarray(ref)[m])
+        np.testing.assert_array_equal(np.asarray(okg), np.asarray(okr))
+    # all accepts at the very end: max displacement = n_cand - n_out
+    c3 = np.zeros((1, 600), dtype=np.uint8)
+    c3[0, -256:] = 5
+    g3, ok3 = sampling._rank_compact_logshift(jnp.asarray(c3), jnp.asarray(c3 == 5), 256)
+    np.testing.assert_array_equal(np.asarray(g3)[0], np.full(256, 5))
+    assert bool(np.asarray(ok3)[0])
+    # shortfall (255 accepts) -> ok False, never silently wrong
+    c4 = np.zeros((1, 600), dtype=np.uint8)
+    c4[0, :255] = 7
+    _, ok4 = sampling._rank_compact_logshift(jnp.asarray(c4), jnp.asarray(c4 == 7), 256)
+    assert not bool(np.asarray(ok4)[0])
+
+
+def test_rank_compact_logshift_packed_matches_scatter():
+    """Packed (value-in-displacement-word) log-shift == scatter oracle at
+    the production eta shapes, with and without 8-sigma truncation."""
+    for n_cand, thr, p_acc in ((816, 9, 9 / 16), (544, 15, 15 / 16)):
+        cand = jnp.asarray(RNG.integers(0, 16, size=(512, n_cand), dtype=np.uint8))
+        accept = cand < thr
+        ref, okr = sampling._rank_compact(cand, accept, 256)
+        for p_trunc in (None, p_acc):
+            got, okg = sampling._rank_compact_logshift_packed(
+                cand, accept, 256, val_bits=4, p_accept=p_trunc
+            )
+            m = np.asarray(okr) & np.asarray(okg)
+            np.testing.assert_array_equal(
+                np.asarray(got).astype(np.uint8)[m], np.asarray(ref)[m]
+            )
+            # at production rates the truncated window never misses here
+            assert np.asarray(okg).all()
+    # shortfall flags
+    c = np.zeros((1, 816), dtype=np.uint8)
+    c[0, :255] = 7
+    _, ok = sampling._rank_compact_logshift_packed(
+        jnp.asarray(c), jnp.asarray(c == 7), 256, val_bits=4, p_accept=9 / 16
+    )
+    assert not bool(np.asarray(ok)[0])

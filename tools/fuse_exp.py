@@ -221,7 +221,15 @@ def pipeline_b(ops_wy_r, rhoprime, kappa, p, *, interpret=False,
     return w, None
 
 
-def check():
+def check(interpret=True):
+    """Differential check of pipeline B vs the shipped pipeline A.
+
+    `check` (CPU): interpret-mode Mosaic — exact but VERY slow (the tail
+    unpack interprets ~100k vector ops; >40 min). `check_tpu`: run BOTH
+    pipelines on the real chip and byte-compare — all ops are exact
+    integer arithmetic, so device-vs-device equality is the same
+    statement, minutes instead.
+    """
     from dilithium_tpu import mxu, params, scheme
     from dilithium_tpu.ops import sampling
 
@@ -237,8 +245,13 @@ def check():
     w_a, y_a = jax.jit(lambda r, k: pipeline_a(ops.wy_cat, r, k, p))(
         rhoprime, kappa)
     ops_wy_r = ops.wy_cat.reshape(p.L, N, -1)
-    w_b, y_b = pipeline_b(ops_wy_r, rhoprime, kappa, p, interpret=True,
-                          want_y=True)
+    if interpret:
+        w_b, y_b = pipeline_b(ops_wy_r, rhoprime, kappa, p, interpret=True,
+                              want_y=True)
+    else:
+        w_b, y_b = jax.jit(
+            functools.partial(pipeline_b, ops_wy_r, p=p, want_y=True)
+        )(rhoprime, kappa)
     ok_w = np.array_equal(np.asarray(w_a), np.asarray(w_b))
     ok_y = np.array_equal(np.asarray(y_a), np.asarray(y_b))
     print("w exact:", ok_w, " y exact:", ok_y)
@@ -287,5 +300,7 @@ if __name__ == "__main__":
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     if sys.argv[1] == "check":
         check()
+    elif sys.argv[1] == "check_tpu":
+        check(interpret=False)
     else:
         bench(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 768)

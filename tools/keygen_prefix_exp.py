@@ -64,7 +64,8 @@ def main():
             key = seedbuf[..., SEEDBYTES + CRHBYTES:]
             if stage == 0:
                 return seedbuf
-            a_hat, _ = sampling.expand_a(rho, p)
+            # max_skips=8 matches production keygen (`scheme.keygen`)
+            a_hat, _ = sampling.expand_a(rho, p, max_skips=8)
             if stage == 1:
                 return a_hat
             # one fused ExpandS over nonces 0..L+K-1 — matches production
