@@ -150,9 +150,16 @@ def main():
         ops_ = mxu_mod.build_operators(kp.sk, p)
         sync(ops_.wy_cat)
         log(f"keygen+build_operators compile+run: {time.time() - t0:.1f}s")
+        # A/B lever for the fused ExpandMask limb kernel: unset = auto
+        # (on for TPU at W % 128 == 0), "0"/"1" force off/on
+        fm_env = os.environ.get("DILITHIUM_BENCH_FUSED_MASK")
+        fused_mask = None if fm_env is None else fm_env == "1"
+        log(f"fused_mask={fused_mask}")
 
         def run(mu):
-            res = mxu_mod.sign_stream_mxu(ops_, mu, p, window=window, max_rounds=8192)
+            res = mxu_mod.sign_stream_mxu(ops_, mu, p, window=window,
+                                          max_rounds=8192,
+                                          fused_mask=fused_mask)
             return res.sig, res.ok, res.attempts
     elif mode == "serve":
         # end-to-end serving: raw message bytes -> mu (native thread pool)

@@ -270,14 +270,48 @@ def _apply_wy(
     )
 
 
-def _sign_attempt_mxu(ops: KeyOperators, mu, rhoprime, kappa, p: DilithiumParams):
+def _sign_attempt_mxu(ops: KeyOperators, mu, rhoprime, kappa,
+                      p: DilithiumParams, fused_mask: bool = False):
     """One candidate per lane using the dense operators. Mirrors
-    scheme._sign_attempt bit-for-bit (pinned by tests/test_mxu.py)."""
+    scheme._sign_attempt bit-for-bit (pinned by tests/test_mxu.py).
+
+    fused_mask=True routes ExpandMask through the coeff-major limb form
+    (`sampling.expand_mask_limbs`): the y->w dots contract the limb
+    planes directly and centered y is recombined from them, eliminating
+    the XOF batch-major unfold and the XLA-side limb casts (21% faster
+    y->w chain at W=8192, `tools/fuse_exp.py`). Bit-identical outputs
+    either way (CPU-pinned via the fallback limbs; on-device via the
+    KAT gate's stream run).
+    """
     B = mu.shape[0]
     L, K = p.L, p.K
-    y = sampling.expand_mask(rhoprime, kappa, p)  # [B, L, 256]
-    y_flat = y.reshape(B, L * N)
-    w = _apply_wy(y_flat, None, p, ops.wy_cat).reshape(B, K, N)
+    if fused_mask:
+        limbs = sampling.expand_mask_limbs(rhoprime, kappa, p)  # [3,N,L,B]
+        kn3 = ops.wy_cat.shape[-1]
+        wy_r = ops.wy_cat.reshape(L, N, kn3)
+        kn = kn3 // 3
+        prods = {}
+        for i in range(3):
+            lhs = limbs[i].astype(_I8)  # [N, L, B]
+            p3 = jax.lax.dot_general(
+                lhs, wy_r, (((0, 1), (1, 0)), ((), ())),
+                preferred_element_type=_I32,
+            )  # [B, 3*KN]
+            for j in range(3):
+                pij = p3[..., j * kn:(j + 1) * kn]
+                k = i + j
+                prods[k] = pij if k not in prods else prods[k] + pij
+        w = _recombine(
+            prods[0], prods[1], prods[2], prods[3], prods[4]
+        ).reshape(B, K, N)
+        # centered y for the z chain, recombined from the limbs (exact)
+        yc = limbs[0] + (limbs[1] << 8) + (limbs[2] << 16)  # [N, L, B]
+        y_cent = jnp.transpose(yc, (2, 1, 0))               # [B, L, N]
+    else:
+        y = sampling.expand_mask(rhoprime, kappa, p)  # [B, L, 256]
+        y_cent = center(y).astype(_I32)
+        w = _apply_wy(y.reshape(B, L * N), None, p,
+                      ops.wy_cat).reshape(B, K, N)
     w1, w0 = rounding.decompose(w, p)
 
     w1_packed = pack.pack_w1(w1, p).reshape(B, K * p.polyw1_packedbytes)
@@ -294,7 +328,7 @@ def _sign_attempt_mxu(ops: KeyOperators, mu, rhoprime, kappa, p: DilithiumParams
     ct0_lo = prod[..., ln + kn:ln + 2 * kn]
     ct0_hi = prod[..., ln + 2 * kn:]
 
-    z = uncenter(center(y).astype(_I32) + cs1)
+    z = uncenter(y_cent + cs1)
     rej_z = rounding.norm_exceeds(z, p.gamma1 - p.beta, axis=(-2, -1))
 
     w0_cs2 = w0 - cs2
@@ -312,7 +346,7 @@ def _sign_attempt_mxu(ops: KeyOperators, mu, rhoprime, kappa, p: DilithiumParams
     return c_tilde, z, h, accept
 
 
-@partial(jax.jit, static_argnames=("p", "window", "max_rounds"))
+@partial(jax.jit, static_argnames=("p", "window", "max_rounds", "fused_mask"))
 def sign_stream_mxu(
     ops: KeyOperators,
     mu: jnp.ndarray,
@@ -320,14 +354,21 @@ def sign_stream_mxu(
     window: int = 768,
     max_rounds: int = 8192,
     rhoprime: jnp.ndarray | None = None,
+    fused_mask: bool | None = None,
 ) -> scheme.SignResult:
     """Elastic-scheduler stream signer over the MXU operators — same loop
     as `scheme.sign_stream` (shared `_stream_loop`), with the attempt body
     running on dense int8 matmuls instead of the NTT pipeline. Pass
     uniformly random `rhoprime` uint8 [Q, 64] for randomized signing
-    (`scheme.sign` docstring, docs/SECURITY.md)."""
+    (`scheme.sign` docstring, docs/SECURITY.md).
+
+    fused_mask: route ExpandMask through the fused coeff-major limb
+    kernel (see `_sign_attempt_mxu`); None = auto (on for the TPU Pallas
+    backend when the window folds onto full 128-lane tiles)."""
     Q_ = mu.shape[0]
     W = min(window, Q_)
+    if fused_mask is None:
+        fused_mask = keccak._use_pallas() and W % 128 == 0
 
     if rhoprime is None:
         key_b = jnp.broadcast_to(ops.key, (Q_,) + ops.key.shape)
@@ -339,7 +380,8 @@ def sign_stream_mxu(
 
     def attempt(mu_s, rp_s, kappa_s, q_s):
         del q_s  # one key: operators are slot-invariant
-        return _sign_attempt_mxu(ops, mu_s, rp_s, kappa_s, p)
+        return _sign_attempt_mxu(ops, mu_s, rp_s, kappa_s, p,
+                                 fused_mask=fused_mask)
 
     return scheme._stream_loop(attempt, mu, rhoprime, p, W, max_rounds)
 

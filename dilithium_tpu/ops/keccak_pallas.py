@@ -112,6 +112,105 @@ def _xof_kernel(in_ref, out_ref, *, nblocks_in, rate_w, out_words):
             lo, hi = _kref._f1600_soa(lo, hi)
 
 
+def _xof_mask_limb_kernel(in_ref, out_ref, *, nblocks_in, rate_w, out_words,
+                          gamma1_bits, gamma1):
+    """Fused ExpandMask: XOF absorb/squeeze + gamma1_bits unpack + center
+    + balanced base-256 int8 limb split, all register/VMEM-resident.
+
+    out_ref: int32 [3*256, TILE, 128] — plane d*256 + j holds limb d of
+    coefficient j for every state (one state = one mask polynomial).
+    Values fit int8; int32 storage keeps Mosaic layouts simple, and the
+    consuming int8 matmul fuses the narrowing cast into its operand read.
+
+    This is the round-5 resolution of the XOF-unfold layout tax (PERF.md
+    dead ends 9/10/16 falsified pure relayouts): the u32 word stream and
+    the canonical y never exist in HBM; the MXU dots consume the
+    coeff-major limb planes directly (`mxu._sign_attempt_mxu` fused
+    path), and centered y is recombined from the limbs for the z chain.
+    Measured 21%% faster than the unfold pipeline at the W=8192
+    ExpandMask shape (`tools/fuse_exp.py` A/C interleaved, 2026-08-21).
+    """
+    zeros = jnp.zeros_like(in_ref[0])
+    lo = [zeros] * 25
+    hi = [zeros] * 25
+    nblocks_out = -(-out_words // (2 * rate_w))
+    words = []
+    for b in range(nblocks_in):
+        base = b * 2 * rate_w
+        for k in range(rate_w):
+            lo[k] = lo[k] ^ in_ref[base + 2 * k]
+            hi[k] = hi[k] ^ in_ref[base + 2 * k + 1]
+        lo, hi = _kref._f1600_soa(lo, hi)
+    for i in range(nblocks_out):
+        for k in range(rate_w):
+            if len(words) < out_words:
+                words.append(lo[k])
+            if len(words) < out_words:
+                words.append(hi[k])
+        if i + 1 < nblocks_out and len(words) < out_words:
+            lo, hi = _kref._f1600_soa(lo, hi)
+
+    mask = jnp.uint32((1 << gamma1_bits) - 1)
+    for j in range(256):
+        bit = gamma1_bits * j
+        w0 = bit >> 5
+        sh = bit & 31
+        r = words[w0] >> jnp.uint32(sh)
+        if sh + gamma1_bits > 32:
+            r = r | (words[w0 + 1] << jnp.uint32(32 - sh))
+        r = r & mask
+        y = jnp.int32(gamma1) - r.astype(jnp.int32)  # centered, |y|<=gamma1
+        d0 = ((y + 128) & 255) - 128
+        y1 = (y - d0) >> 8
+        d1 = ((y1 + 128) & 255) - 128
+        d2 = (y1 - d1) >> 8
+        out_ref[j] = d0
+        out_ref[256 + j] = d1
+        out_ref[512 + j] = d2
+
+
+def mask_limbs_folded(
+    planes: jnp.ndarray, rate_w: int, gamma1_bits: int, gamma1: int,
+    *, interpret: bool = False
+) -> jnp.ndarray:
+    """Fused ExpandMask limbs on folded absorb planes.
+
+    planes: uint32 [nblocks_in * 2*rate_w, SB, 128] absorb-ready lane
+    words (as `shake_words_folded`). Returns int32 [3*256, SB, 128]:
+    plane d*256 + j = balanced base-256 limb d of centered coefficient j.
+    """
+    import functools
+
+    out_words = -(-(256 * gamma1_bits) // 32)
+    n_in, sb, _ = planes.shape
+    nblocks_in = n_in // (2 * rate_w)
+    pad = (-sb) % _TILE
+    if pad:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((n_in, pad, 128), dtype=jnp.uint32)], axis=1
+        )
+    sbp = sb + pad
+    kernel = functools.partial(
+        _xof_mask_limb_kernel, nblocks_in=nblocks_in, rate_w=rate_w,
+        out_words=out_words, gamma1_bits=gamma1_bits, gamma1=gamma1,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(sbp // _TILE,),
+        in_specs=[
+            pl.BlockSpec((n_in, _TILE, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3 * 256, _TILE, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3 * 256, sbp, 128), jnp.int32),
+        interpret=interpret,
+    )(planes)
+    if pad:
+        out = out[:, :sb]
+    return out
+
+
 def shake_words_folded(
     planes: jnp.ndarray, out_words: int, rate_w: int, *, interpret: bool = False
 ) -> jnp.ndarray:

@@ -486,6 +486,74 @@ def expand_mask(
     return uncenter(jnp.int32(p.gamma1) - r)
 
 
+def expand_mask_limbs(
+    rhoprime: jnp.ndarray, kappa: jnp.ndarray, p: DilithiumParams
+) -> jnp.ndarray:
+    """ExpandMask as CENTERED balanced base-256 int8 limbs, coeff-major.
+
+    rhoprime uint8 [W, 64], kappa uint32 [W] -> int32 [3, 256, L, W] with
+    limbs[d, j, l, b] = digit d of centered y coefficient j of poly l of
+    message b (y = gamma1 - r over the 18/20-bit slices, exactly
+    `expand_mask`'s values re-encoded: centered(y) = d0 + 256*d1 +
+    65536*d2, each digit in [-128, 127]).
+
+    This is the operand format of the MXU signer's fused-mask path: the
+    int8 y->w dots contract the (coeff, poly) axes directly, skipping the
+    batch-major unfold of the XOF word stream AND the XLA-side limb-split
+    casts (the r04 trace's two largest non-MXU items). On TPU with
+    W % 128 == 0 the whole chain (XOF absorb/squeeze, unpack, center,
+    limb split) runs in one Mosaic kernel (`keccak_pallas.mask_limbs_folded`,
+    states ordered poly-major so (sublane, lane) reshapes to (L, W)
+    without element movement); otherwise a bit-exact jnp fallback derives
+    the limbs from `expand_mask` — same values on every backend (pinned
+    by tests/test_mxu.py; the kernel itself is device-differentialed by
+    `tools/fuse_exp.py check_tpu` and the on-device KAT gate).
+    """
+    W = rhoprime.shape[0]
+    L = p.L
+    if keccak._use_pallas() and W % 128 == 0:
+        from dilithium_tpu.ops import keccak_pallas
+        # poly-major state order: state = l * W + b
+        nonces = kappa[None, :].astype(_U32) + jnp.arange(
+            L, dtype=_U32)[:, None]                      # [L, W]
+        msgs = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    rhoprime[None], (L, W, 64)).astype(_U8),
+                _le16(nonces),
+            ],
+            axis=-1,
+        )
+        rate = SHAKE256_RATE
+        msg_len = msgs.shape[-1]
+        nblocks_in = msg_len // rate + 1
+        padded_len = nblocks_in * rate
+        folded, _, b = keccak._fold_batch(msgs)
+        pad = jnp.zeros(folded.shape[:-1] + (padded_len - msg_len,),
+                        dtype=_U8)
+        pad = pad.at[..., 0].set(0x1F)
+        pad = pad.at[..., -1].set(pad[..., -1] | 0x80)
+        padded = jnp.concatenate([folded, pad], axis=-1)
+        w32 = jax.lax.bitcast_convert_type(
+            padded.reshape(padded.shape[:-1] + (padded_len // 4, 4)), _U32
+        )
+        planes = jnp.moveaxis(w32, -1, 0)
+        out = keccak_pallas.mask_limbs_folded(
+            planes, rate // 8, p.gamma1_bits, p.gamma1
+        )  # [3*256, (L*W)/128, 128]
+        return out.reshape(3, N, L, W)
+    # fallback: identical values via the batch-major path
+    from dilithium_tpu.ops.reduce import center
+    y = expand_mask(rhoprime, kappa, p)           # [W, L, 256] canonical
+    x = center(y)                                 # int32 centered
+    d0 = ((x + 128) % 256) - 128
+    x1 = (x - d0) >> 8
+    d1 = ((x1 + 128) % 256) - 128
+    d2 = (x1 - d1) >> 8
+    limbs = jnp.stack([d0, d1, d2])               # [3, W, L, 256]
+    return jnp.transpose(limbs, (0, 3, 2, 1))     # [3, 256, L, W]
+
+
 def sample_in_ball(
     c_tilde: jnp.ndarray, p: DilithiumParams
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

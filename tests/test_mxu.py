@@ -164,3 +164,34 @@ def test_key_operator_views_consistent(key_ctx):
         + 65536 * limbs[2].astype(np.int64)
     )
     assert np.abs(w_full).max() <= (Q - 1) // 2
+
+
+def test_fused_mask_attempt_bit_identical(key_ctx):
+    """The fused-mask attempt path (coeff-major limb dots + y recombined
+    from limbs) must be bit-identical to the batch-major path. On CPU the
+    limbs come from the jnp fallback of `expand_mask_limbs`, which pins
+    the dataflow restructure; the Mosaic kernel itself is differentialed
+    on-device (`tools/fuse_exp.py check_tpu` + the KAT gate)."""
+    p, kp, ek, ops = key_ctx
+    B = 6
+    mu = jnp.asarray(RNG.integers(0, 256, size=(B, 64), dtype=np.uint8))
+    rp = jnp.asarray(RNG.integers(0, 256, size=(B, 64), dtype=np.uint8))
+    kap = jnp.asarray(RNG.integers(0, 30, size=(B,)).astype(np.uint32) * p.L)
+    ref = mxu._sign_attempt_mxu(ops, mu, rp, kap, p, fused_mask=False)
+    got = mxu._sign_attempt_mxu(ops, mu, rp, kap, p, fused_mask=True)
+    for a, b, name in zip(ref, got, ("c_tilde", "z", "h", "accept")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_expand_mask_limbs_fallback_exact(key_ctx):
+    """Fallback limb encoding reconstructs centered expand_mask exactly."""
+    p, *_ = key_ctx
+    W = 8
+    rp = jnp.asarray(RNG.integers(0, 256, size=(W, 64), dtype=np.uint8))
+    kap = jnp.asarray(RNG.integers(0, 9, size=(W,)).astype(np.uint32))
+    limbs = np.asarray(sampling.expand_mask_limbs(rp, kap, p))  # [3,256,L,W]
+    y = np.asarray(sampling.expand_mask(rp, kap, p))            # [W,L,256]
+    yc = np.asarray(center(jnp.asarray(y)))
+    recon = (limbs[0] + 256 * limbs[1] + 65536 * limbs[2]).transpose(2, 1, 0)
+    np.testing.assert_array_equal(recon, yc)
+    assert limbs.min() >= -128 and limbs.max() <= 127

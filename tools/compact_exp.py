@@ -86,6 +86,37 @@ def main():
     ca = jnp.asarray(
         rng.integers(0, 1 << 23, size=(Ba, 336), dtype=np.int64).astype(np.uint32))
     aa = ca < jnp.uint32(8380417)
+    # pack_hints shape: positions of ~55-80 set bits in [B, 1536] -> omega
+    # slots (one-hot form shipped r04 at 5.8 ms / 16384)
+    from dilithium_tpu import params as _params
+    from dilithium_tpu.ops import pack as _pack
+    p3 = _params.get_params(3)
+    hw = (rng.random((nkeys, p3.K, 256)) < (50 / 1536)).astype(np.uint32)
+    hj = jnp.asarray(hw)
+    f_oh = jax.jit(lambda h: _pack.pack_hints(h, p3))
+    gpos = jnp.asarray((np.arange(p3.K * 256) % 256).astype(np.uint8))
+
+    def hints_logshift(h):
+        hf = h.reshape(h.shape[:-2] + (p3.K * 256,))
+        cand = jnp.broadcast_to(gpos, hf.shape)
+        out, _ = sampling._rank_compact_logshift_packed(
+            cand, hf == 1, p3.omega, val_bits=8
+        )
+        counts = jnp.cumsum(jnp.sum(h, axis=-1), axis=-1)
+        return jnp.concatenate(
+            [out.astype(jnp.uint8), counts.astype(jnp.uint8)], axis=-1
+        )
+
+    f_ls = jax.jit(hints_logshift)
+    ref = np.asarray(f_oh(hj))
+    got = np.asarray(f_ls(hj))
+    print("hints logshift == onehot:", np.array_equal(ref, got), flush=True)
+    for name, f in (("hints one-hot", f_oh), ("hints log-shift", f_ls),
+                    ("hints one-hot(2)", f_oh), ("hints log-shift(2)", f_ls)):
+        t = timeit(f, hj, iters=5)
+        print(f"{name:24s} {t*1e3:8.2f} ms  ({t/nkeys*1e6:6.3f} us/msg)",
+              flush=True)
+
     f_spa = jax.jit(lambda c, a: sampling._rank_compact_sparse(
         c, a, 256, max_skips=12))
     f_loga = jax.jit(lambda c, a: sampling._rank_compact_logshift(c, a, 256))

@@ -23,7 +23,9 @@ stderr. Exit code 0 iff everything matched. Run next to bench.py every
 round; record the JSON as KAT_TPU_r{N}.json.
 
 Env: DILITHIUM_TPU_KAT_COUNT (default 25 vectors/level),
-DILITHIUM_TPU_KAT_STREAM_Q (default 16 queue rows for the stream signer).
+DILITHIUM_TPU_KAT_STREAM_Q (default 128 queue rows for the stream signer
+— W = 128 auto-enables the fused-mask limb kernel, so the gate checks
+the production kernel path).
 """
 
 import json
@@ -74,7 +76,10 @@ def main() -> int:
     from dilithium_tpu.utils import kat
 
     count = int(os.environ.get("DILITHIUM_TPU_KAT_COUNT", "25"))
-    stream_q = int(os.environ.get("DILITHIUM_TPU_KAT_STREAM_Q", "16"))
+    # 128 queue rows -> W = 128: the MXU stream signer's fused-mask limb
+    # kernel auto-enables at W % 128 == 0, so the gate byte-checks the
+    # kernel path (not the jnp fallback) on the real chip
+    stream_q = int(os.environ.get("DILITHIUM_TPU_KAT_STREAM_Q", "128"))
     dev = init_backend()
     backend = dev.platform
     log(f"device: {dev} ({backend}), {count} vectors/level, "
