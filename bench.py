@@ -14,13 +14,15 @@ Runs on the default JAX backend (the real TPU chip under the driver).
 Extra diagnostics go to stderr; stdout carries only the JSON line.
 
 Default mode is "mxu" (dense per-key int8 operators on the systolic
-array + elastic attempt scheduler): measured ~180k signs/sec (2026-08-20,
-v5e-1, batch 16384, window 768). Other modes: "stream" = one-key
-generic-NTT elastic signer (~92k), "keys" = independent-keys elastic
-signer over DILITHIUM_BENCH_NKEYS distinct keys (~84k at 256 keys),
-"batch" = lockstep signer (~34k), "verify" = one-key MXU verify service
-(~456k verifies/sec), "serve" = end-to-end bytes->mu->sign pipeline
-(native mu thread pool + MXU signer).
+array + elastic attempt scheduler + fused ExpandMask limb kernel):
+measured ~215-219k signs/sec (2026-08-21 r05, v5e-1, batch 16384,
+window 768; ~178k with the fused kernel forced off). Other modes:
+"stream" = one-key generic-NTT elastic signer (~86-92k), "keys" =
+independent-keys elastic signer over DILITHIUM_BENCH_NKEYS distinct
+keys (~87-90k at 256 keys), "batch" = lockstep signer (~34k), "verify"
+= one-key MXU verify service (456-531k verifies/sec across epochs),
+"serve" = end-to-end bytes->mu->sign pipeline (native mu thread pool +
+MXU signer, ~268k in a fast stretch).
 Default 21 timed iterations in 3 blocks of 7, median block reported: at
 5 iterations the queue-drain warmup and tunnel dispatch jitter
 under-report throughput by ~20%, and a single timing window is not
@@ -106,11 +108,10 @@ def main():
     iters = int(os.environ.get("DILITHIUM_BENCH_ITERS", "21"))
     mode = os.environ.get("DILITHIUM_BENCH_MODE", "mxu")
     # Per-level operating points (2026-08-19 sweeps with the lean
-    # steady-state scheduler; Q=16384):
-    #   level 3: 512->167.8k, 768->171-176k, 896->165.1k, 1024->169-170k,
-    #            2048->157.6k, 4096->143.6k, 8192->124.3k -> W=768
-    #   level 2: 768->171.5k, 1024->235.5k, 1536->246.6k, 2048->238.6k
-    #   level 5: 512->148.0k, 768->156.4k
+    # steady-state scheduler; re-confirmed unchanged 2026-08-21 after the
+    # fused-mask kernel: L3 512/768/1024 -> 208.5/215-219/218.8k,
+    # L2 1024/1536/2048 -> 299/303/274k, L5 768 vs 1024 a wash):
+    #   level 3 -> W=768, level 2 -> W=1536, level 5 -> W=768
     window = int(os.environ.get(
         "DILITHIUM_BENCH_WINDOW", {2: "1536", 3: "768", 5: "768"}[level]
     ))
