@@ -113,7 +113,7 @@ def _xof_kernel(in_ref, out_ref, *, nblocks_in, rate_w, out_words):
 
 
 def _xof_mask_limb_kernel(in_ref, out_ref, *, nblocks_in, rate_w, out_words,
-                          gamma1_bits, gamma1):
+                          gamma1_bits, gamma1, out_dtype=jnp.int32):
     """Fused ExpandMask: XOF absorb/squeeze + gamma1_bits unpack + center
     + balanced base-256 int8 limb split, all register/VMEM-resident.
 
@@ -164,20 +164,22 @@ def _xof_mask_limb_kernel(in_ref, out_ref, *, nblocks_in, rate_w, out_words,
         y1 = (y - d0) >> 8
         d1 = ((y1 + 128) & 255) - 128
         d2 = (y1 - d1) >> 8
-        out_ref[j] = d0
-        out_ref[256 + j] = d1
-        out_ref[512 + j] = d2
+        out_ref[j] = d0.astype(out_dtype)
+        out_ref[256 + j] = d1.astype(out_dtype)
+        out_ref[512 + j] = d2.astype(out_dtype)
 
 
 def mask_limbs_folded(
     planes: jnp.ndarray, rate_w: int, gamma1_bits: int, gamma1: int,
-    *, interpret: bool = False
+    *, interpret: bool = False, out_dtype=jnp.int32
 ) -> jnp.ndarray:
     """Fused ExpandMask limbs on folded absorb planes.
 
     planes: uint32 [nblocks_in * 2*rate_w, SB, 128] absorb-ready lane
-    words (as `shake_words_folded`). Returns int32 [3*256, SB, 128]:
-    plane d*256 + j = balanced base-256 limb d of centered coefficient j.
+    words (as `shake_words_folded`). Returns out_dtype [3*256, SB, 128]:
+    plane d*256 + j = balanced base-256 limb d of centered coefficient j
+    (values always fit int8; out_dtype int8 saves the downstream narrow
+    + relayout if Mosaic accepts the 8-bit store at this block shape).
     """
     import functools
 
@@ -193,6 +195,7 @@ def mask_limbs_folded(
     kernel = functools.partial(
         _xof_mask_limb_kernel, nblocks_in=nblocks_in, rate_w=rate_w,
         out_words=out_words, gamma1_bits=gamma1_bits, gamma1=gamma1,
+        out_dtype=out_dtype,
     )
     out = pl.pallas_call(
         kernel,
@@ -203,7 +206,7 @@ def mask_limbs_folded(
         ],
         out_specs=pl.BlockSpec((3 * 256, _TILE, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3 * 256, sbp, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((3 * 256, sbp, 128), out_dtype),
         interpret=interpret,
     )(planes)
     if pad:

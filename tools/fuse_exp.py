@@ -50,83 +50,6 @@ _TILE = KP._TILE
 N = 256
 
 
-def _mask_limb_kernel(in_ref, out_ref, *, nblocks_in, rate_w, out_words,
-                      gamma1_bits, gamma1):
-    """XOF absorb/squeeze + 20-bit unpack + center + int8 limb split.
-
-    out_ref: int32 [3*N, TILE, 128] — plane d*N+j = limb d of coeff j
-    (int32 storage; values fit int8 — the consuming dot casts for free
-    on read if XLA fuses, else variant B pays one cast it measures).
-    """
-    zeros = jnp.zeros_like(in_ref[0])
-    lo = [zeros] * 25
-    hi = [zeros] * 25
-    nblocks_out = -(-out_words // (2 * rate_w))
-    words = []
-    for b in range(nblocks_in):
-        base = b * 2 * rate_w
-        for k in range(rate_w):
-            lo[k] = lo[k] ^ in_ref[base + 2 * k]
-            hi[k] = hi[k] ^ in_ref[base + 2 * k + 1]
-        lo, hi = K._f1600_soa(lo, hi)
-    for i in range(nblocks_out):
-        for k in range(rate_w):
-            if len(words) < out_words:
-                words.append(lo[k])
-            if len(words) < out_words:
-                words.append(hi[k])
-        if i + 1 < nblocks_out and len(words) < out_words:
-            lo, hi = K._f1600_soa(lo, hi)
-
-    mask = jnp.uint32((1 << gamma1_bits) - 1)
-    for j in range(N):
-        bit = gamma1_bits * j
-        w0 = bit >> 5
-        sh = bit & 31
-        r = words[w0] >> jnp.uint32(sh)
-        if sh + gamma1_bits > 32:
-            r = r | (words[w0 + 1] << jnp.uint32(32 - sh))
-        r = r & mask
-        y = jnp.int32(gamma1) - r.astype(_I32)  # centered, |y| <= gamma1
-        d0 = ((y + 128) & 255) - 128
-        y1 = (y - d0) >> 8
-        d1 = ((y1 + 128) & 255) - 128
-        d2 = (y1 - d1) >> 8
-        out_ref[j] = d0
-        out_ref[N + j] = d1
-        out_ref[2 * N + j] = d2
-
-
-def mask_limbs_planes(planes, rate_w, gamma1_bits, gamma1, *, interpret=False):
-    """planes as in KP.shake_words_folded -> int32 limb planes [3N, S, 128]."""
-    out_words = -(-(N * gamma1_bits) // 32)
-    n_in, sb, _ = planes.shape
-    nblocks_in = n_in // (2 * rate_w)
-    pad = (-sb) % _TILE
-    if pad:
-        planes = jnp.concatenate(
-            [planes, jnp.zeros((n_in, pad, 128), dtype=_U32)], axis=1
-        )
-    sbp = sb + pad
-    kernel = functools.partial(
-        _mask_limb_kernel, nblocks_in=nblocks_in, rate_w=rate_w,
-        out_words=out_words, gamma1_bits=gamma1_bits, gamma1=gamma1,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(sbp // _TILE,),
-        in_specs=[
-            pl.BlockSpec((n_in, _TILE, 128), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((3 * N, _TILE, 128), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3 * N, sbp, 128), _I32),
-        interpret=interpret,
-    )(planes)
-    return out[:, :sb]
-
-
 def _mask_msgs_polymajor(rhoprime, kappa, p):
     """ExpandMask messages in POLY-MAJOR state order [L, W, 66]."""
     from dilithium_tpu.ops.sampling import _le16
@@ -154,24 +77,28 @@ def _absorb_planes(data, rate):
     return jnp.moveaxis(w32, -1, 0), batch_shape, b
 
 
-def fused_limbs(rhoprime, kappa, p, *, interpret=False):
-    """-> int32 limb array [3, N, L, W] (coeff-major, msg minor).
+def fused_limbs(rhoprime, kappa, p, *, interpret=False, out_dtype=_I32):
+    """-> limb array [3, N, L, W] (coeff-major, msg minor).
 
     Requires W % 128 == 0 so the folded (sublane, lane) axes reshape into
-    (L, W) without element movement.
+    (L, W) without element movement. Delegates to the production kernel
+    (`keccak_pallas.mask_limbs_folded`); out_dtype int8 is the D variant
+    (skip the downstream narrowing + relayout of the i32 planes).
     """
     W = rhoprime.shape[0]
     assert W % 128 == 0
     msgs = _mask_msgs_polymajor(rhoprime, kappa, p)  # [L, W, 66]
     planes, _, b = _absorb_planes(msgs, 136)
-    out = mask_limbs_planes(planes, 136 // 8, p.gamma1_bits,
-                            p.gamma1, interpret=interpret)
+    out = KP.mask_limbs_folded(planes, 136 // 8, p.gamma1_bits,
+                               p.gamma1, interpret=interpret,
+                               out_dtype=out_dtype)
     return out.reshape(3, N, p.L, W)
 
 
 def y_from_limbs(limbs):
-    """[3, N, L, W] int32 -> centered y batch-major [W, L, N] (variant C)."""
-    yc = limbs[0] + (limbs[1] << 8) + (limbs[2] << 16)  # [N, L, W]
+    """[3, N, L, W] limbs -> centered y batch-major [W, L, N] (variant C)."""
+    l32 = limbs.astype(_I32)
+    yc = l32[0] + (l32[1] << 8) + (l32[2] << 16)  # [N, L, W]
     return jnp.transpose(yc, (2, 1, 0))
 
 
@@ -196,9 +123,10 @@ def _recombine_from_prods(prods, p):
 
 
 def pipeline_b(ops_wy_r, rhoprime, kappa, p, *, interpret=False,
-               want_y=False):
+               want_y=False, out_dtype=_I32):
     """Fused kernel -> coeff-major dots. ops_wy_r: int8 [L, N, 3KN]."""
-    limbs = fused_limbs(rhoprime, kappa, p, interpret=interpret)
+    limbs = fused_limbs(rhoprime, kappa, p, interpret=interpret,
+                        out_dtype=out_dtype)
     W = rhoprime.shape[0]
     kn = ops_wy_r.shape[-1] // 3
     prods = {}
@@ -256,6 +184,16 @@ def check(interpret=True):
     ok_y = np.array_equal(np.asarray(y_a), np.asarray(y_b))
     print("w exact:", ok_w, " y exact:", ok_y)
     assert ok_w and ok_y
+    if not interpret:
+        # D variant: int8 kernel output
+        w_d, y_d = jax.jit(
+            functools.partial(pipeline_b, ops_wy_r, p=p, want_y=True,
+                              out_dtype=_I8)
+        )(rhoprime, kappa)
+        ok_wd = np.array_equal(np.asarray(w_a), np.asarray(w_d))
+        ok_yd = np.array_equal(np.asarray(y_a), np.asarray(y_d))
+        print("D (i8 out) w exact:", ok_wd, " y exact:", ok_yd)
+        assert ok_wd and ok_yd
 
 
 def bench(variant, W):
@@ -273,9 +211,10 @@ def bench(variant, W):
         fn = jax.jit(lambda r, k: pipeline_a(ops.wy_cat, r, k, p))
     else:
         ops_wy_r = ops.wy_cat.reshape(p.L, N, -1)
-        want_y = variant == "C"
+        want_y = variant in ("C", "D")
+        out_dtype = _I8 if variant == "D" else _I32
         fn = jax.jit(functools.partial(
-            pipeline_b, ops_wy_r, p=p, want_y=want_y))
+            pipeline_b, ops_wy_r, p=p, want_y=want_y, out_dtype=out_dtype))
 
     def run(r, k):
         out = fn(r, k)
