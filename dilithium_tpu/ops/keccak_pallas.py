@@ -171,7 +171,7 @@ def _xof_mask_limb_kernel(in_ref, out_ref, *, nblocks_in, rate_w, out_words,
 
 def mask_limbs_folded(
     planes: jnp.ndarray, rate_w: int, gamma1_bits: int, gamma1: int,
-    *, interpret: bool = False, out_dtype=jnp.int32
+    *, interpret: bool = False, out_dtype=jnp.int32, tile: int = _TILE
 ) -> jnp.ndarray:
     """Fused ExpandMask limbs on folded absorb planes.
 
@@ -186,7 +186,7 @@ def mask_limbs_folded(
     out_words = -(-(256 * gamma1_bits) // 32)
     n_in, sb, _ = planes.shape
     nblocks_in = n_in // (2 * rate_w)
-    pad = (-sb) % _TILE
+    pad = (-sb) % tile
     if pad:
         planes = jnp.concatenate(
             [planes, jnp.zeros((n_in, pad, 128), dtype=jnp.uint32)], axis=1
@@ -199,12 +199,12 @@ def mask_limbs_folded(
     )
     out = pl.pallas_call(
         kernel,
-        grid=(sbp // _TILE,),
+        grid=(sbp // tile,),
         in_specs=[
-            pl.BlockSpec((n_in, _TILE, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((n_in, tile, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3 * 256, _TILE, 128), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((3 * 256, tile, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3 * 256, sbp, 128), out_dtype),
         interpret=interpret,
